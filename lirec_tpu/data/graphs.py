@@ -1,0 +1,312 @@
+"""MovieGraphs clip/movie graphs over a minimal typed digraph.
+
+The reference consumes a pickle of networkx-1.11 graphs
+(ref `moviegraphs/py3loader/GraphClasses.py`, `utils/util_functions.py:414-424`).
+This module reimplements only what the annotation-mining layer needs — typed
+nodes, directed edges, successor/edge queries — with no networkx dependency,
+and loads either:
+
+- a directory of per-movie clip-graph JSON dumps (the original MovieGraphs
+  annotation format, ref `GraphClasses.py:60-73`): one
+  ``<movie>.json`` file holding a list of clip-graph dicts, or
+- the ``mg3.pkl`` pickle, via a compatibility shim (`load_mg_pickle`).
+
+Insertion order of nodes is preserved; the reference relied on dict order for
+hypothesis enumeration, so all downstream orderings are deterministic given
+the file order.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import warnings
+from collections import OrderedDict
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Union
+
+__all__ = ["Digraph", "ClipGraph", "MovieGraph", "load_graphs", "iter_movies"]
+
+
+class Digraph:
+    """Directed graph with per-node attribute dicts (insertion-ordered)."""
+
+    def __init__(self) -> None:
+        self.node: Dict[int, dict] = {}
+        self._succ: Dict[int, set] = {}
+        self._pred: Dict[int, set] = {}
+
+    def add_node(self, nid: int, **attrs) -> None:
+        if nid in self.node:
+            self.node[nid].update(attrs)
+        else:
+            self.node[nid] = dict(attrs)
+            self._succ[nid] = set()
+            self._pred[nid] = set()
+
+    def add_edge(self, u: int, v: int) -> None:
+        if u in self.node and v in self.node:
+            self._succ[u].add(v)
+            self._pred[v].add(u)
+
+    def has_edge(self, u: int, v: int) -> bool:
+        return u in self._succ and v in self._succ[u]
+
+    def neighbors(self, nid: int) -> List[int]:
+        """Successors, matching networkx DiGraph.neighbors semantics."""
+        return list(self._succ.get(nid, ()))
+
+    def predecessors(self, nid: int) -> List[int]:
+        return list(self._pred.get(nid, ()))
+
+    def nodes(self) -> List[int]:
+        return list(self.node)
+
+    def __contains__(self, nid: int) -> bool:
+        return nid in self.node
+
+    def __len__(self) -> int:
+        return len(self.node)
+
+
+class ClipGraph:
+    """Story graph of one video clip.
+
+    Construction from the MovieGraphs JSON dump follows the reference's node
+    typing rules (ref GraphClasses.py:91-153): entity nodes keep
+    ``name``/``node_id``; attribute nodes split ``subtype:text``; time nodes
+    keep ``start``/``end``; situation/scene become synthetic nodes -1/-2.
+    """
+
+    def __init__(self, graph_json: dict):
+        self.situation = graph_json.get("situation", "")
+        self.scene_label = graph_json.get("scene", "")
+        self.description = graph_json.get("sentence_description", "")
+        self._set_video(graph_json["video"])
+        self._build(graph_json)
+
+    def _set_video(self, video_fnames: Union[str, Sequence[str]]) -> None:
+        # video filename(s) look like ".../<movie>/scene-002.ss-0009.es-0020.mp4"
+        # (ref GraphClasses.py:75-90); scene/ss/es parsed from the basename.
+        if isinstance(video_fnames, str):
+            video_fnames = [video_fnames]
+        self.video = {"movie": "", "fname": [], "scene": [], "ss": 9999, "es": -1}
+        movie = ""
+        for vf in video_fnames:
+            head, movie, fname = vf.rsplit("/", 2) if vf.count("/") >= 2 else (
+                "",
+                vf.rsplit("/", 2)[0] if "/" in vf else "",
+                vf.rsplit("/", 1)[-1],
+            )
+            sc, ss, es = (
+                int(part.split("-")[1]) for part in fname.split(".")[0:3]
+            )
+            self.video["fname"].append(fname)
+            self.video["scene"].append(sc)
+            self.video["ss"] = min(self.video["ss"], ss)
+            self.video["es"] = max(self.video["es"], es)
+        self.video["movie"] = movie
+
+    def _build(self, graph_json: dict) -> None:
+        G = Digraph()
+        for node in graph_json.get("nodes", []):
+            if not str(node.get("name", "")).strip():
+                continue
+            nid = node["id"]
+            if nid in G:
+                warnings.warn(
+                    "duplicate node id %r in %s" % (nid, self.video["fname"])
+                )
+                continue
+            ntype = node["type"]
+            if ntype == "entity":
+                G.add_node(nid, name=node["name"], node_id=node.get("node_id"))
+            elif ntype == "attribute":
+                subtype, text = "", node["name"]
+                if ":" in node["name"]:
+                    subtype, text = node["name"].split(":", 1)
+                G.add_node(nid, name=text, subtype=subtype)
+            elif ntype == "time":
+                if "t_start" in node and "t_end" in node:
+                    G.add_node(
+                        nid,
+                        name=node["name"],
+                        start=node["t_start"],
+                        end=node["t_end"],
+                    )
+                else:
+                    G.add_node(nid, name=node["name"])
+            else:
+                G.add_node(nid, name=node["name"])
+            G.add_node(
+                nid,
+                origtext=node["name"],
+                type=ntype,
+                pos=(node.get("x", 0), node.get("y", 0)),
+            )
+        if self.situation:
+            G.add_node(
+                -1, origtext=self.situation, name=self.situation,
+                type="situation", pos=(0, 0),
+            )
+        if self.scene_label:
+            G.add_node(
+                -2, origtext=self.scene_label, name=self.scene_label,
+                type="scene", pos=(0, 10),
+            )
+        for edge in graph_json.get("edges", []):
+            if edge["source"] in G and edge["target"] in G:
+                G.add_edge(edge["source"], edge["target"])
+            else:
+                warnings.warn(
+                    "edge endpoint missing: %r -> %r"
+                    % (edge["source"], edge["target"])
+                )
+        self.G = G
+
+    # -- queries used by annotation mining ---------------------------------
+
+    def node_type(self, nid: int) -> Optional[str]:
+        attrs = self.G.node.get(nid)
+        return attrs.get("type") if attrs else None
+
+    def get_node_ids_of_type(self, ntypes) -> List[int]:
+        """Node ids whose type is `in` ntypes.
+
+        Deliberately uses Python ``in`` so a *string* argument does substring
+        matching — the reference depends on this: mining passes the string
+        ``'interactions'``, which matches ``'interaction'`` nodes only by
+        substring (ref GraphClasses.py:215-218, util_functions.py:455,507).
+        """
+        return [nid for nid in self.G.node if self.node_type(nid) in ntypes]
+
+
+class MovieGraph:
+    """All clip graphs of one movie (ref GraphClasses.py:588-614)."""
+
+    def __init__(self, imdb_key: str):
+        self.imdb_key = imdb_key
+        self.clip_graphs: "OrderedDict[int, ClipGraph]" = OrderedDict()
+
+    def add_clip_graph(self, idx: int, clip: ClipGraph) -> None:
+        self.clip_graphs[idx] = clip
+
+
+def _movie_from_json(imdb_key: str, clips_json: list) -> MovieGraph:
+    movie = MovieGraph(imdb_key)
+    for idx, graph_json in enumerate(clips_json):
+        try:
+            clip = ClipGraph(graph_json)
+        except (KeyError, ValueError) as err:
+            warnings.warn("failed to build clip graph %d of %s: %s" % (idx, imdb_key, err))
+            continue
+        movie.add_clip_graph(idx, clip)
+    return movie
+
+
+def load_graphs(path: str) -> "OrderedDict[str, MovieGraph]":
+    """Load all movie graphs from a JSON directory or an mg3-style pickle."""
+    if os.path.isdir(path):
+        movies: "OrderedDict[str, MovieGraph]" = OrderedDict()
+        for filename in sorted(os.listdir(path)):
+            if not filename.endswith(".json"):
+                continue
+            imdb_key = filename[: -len(".json")]
+            with open(os.path.join(path, filename), "r") as f:
+                movies[imdb_key] = _movie_from_json(imdb_key, json.load(f))
+        return movies
+    return load_mg_pickle(path)
+
+
+def iter_movies(
+    path: str, movie_idxs: Union[str, List[str]] = "all"
+) -> Iterator[MovieGraph]:
+    """Yield movie graphs, optionally restricted to given imdb keys
+    (ref utils/util_functions.py:414-424)."""
+    if os.path.isdir(path):
+        if movie_idxs == "all":
+            names = [
+                f[: -len(".json")]
+                for f in sorted(os.listdir(path))
+                if f.endswith(".json")
+            ]
+        elif isinstance(movie_idxs, list):
+            names = movie_idxs
+        else:
+            names = [movie_idxs]
+        for imdb_key in names:
+            with open(os.path.join(path, imdb_key + ".json"), "r") as f:
+                yield _movie_from_json(imdb_key, json.load(f))
+        return
+    movies = load_mg_pickle(path)
+    if movie_idxs == "all":
+        yield from movies.values()
+    elif isinstance(movie_idxs, list):
+        for key in movie_idxs:
+            yield movies[key]
+    else:
+        yield movies[movie_idxs]
+
+
+# -- mg3.pkl compatibility ---------------------------------------------------
+
+
+class _ShimUnpickler:
+    """Loads the reference's mg3.pkl without networkx/GraphClasses installed.
+
+    The pickle stores GraphClasses.MovieGraph/ClipGraph instances whose state
+    includes networkx-1.11 DiGraph internals (plain dicts ``node``, ``adj``,
+    ``succ``, ``pred``). Shim classes absorb ``__dict__`` and are converted
+    to this module's types.
+    """
+
+    @staticmethod
+    def load(path: str) -> "OrderedDict[str, MovieGraph]":
+        import io
+        import pickle
+
+        class _Shim:
+            def __init__(self, *a, **k):
+                pass
+
+            def __setstate__(self, state):
+                self.__dict__.update(state)
+
+        class _Unpickler(pickle.Unpickler):
+            def find_class(self, module, name):
+                if "networkx" in module or "GraphClasses" in module:
+                    return type(name, (_Shim,), {})
+                return super().find_class(module, name)
+
+        with open(path, "rb") as f:
+            raw = _Unpickler(io.BufferedReader(f), encoding="latin1").load()
+
+        movies: "OrderedDict[str, MovieGraph]" = OrderedDict()
+        for imdb_key, shim_movie in raw.items():
+            movie = MovieGraph(getattr(shim_movie, "imdb_key", imdb_key))
+            for idx, shim_clip in getattr(shim_movie, "clip_graphs", {}).items():
+                clip = ClipGraph.__new__(ClipGraph)
+                clip.situation = getattr(shim_clip, "situation", "")
+                clip.scene_label = getattr(shim_clip, "scene_label", "")
+                clip.description = getattr(shim_clip, "description", "")
+                clip.video = shim_clip.video
+                shim_g = shim_clip.G
+                G = Digraph()
+                node_attrs = getattr(shim_g, "node", None) or getattr(
+                    shim_g, "_node", {}
+                )
+                adj = getattr(shim_g, "adj", None) or getattr(
+                    shim_g, "succ", None
+                ) or getattr(shim_g, "_adj", {})
+                for nid, attrs in node_attrs.items():
+                    G.add_node(nid, **attrs)
+                for u, targets in adj.items():
+                    for v in targets:
+                        G.add_edge(u, v)
+                clip.G = G
+                movie.add_clip_graph(idx, clip)
+            movies[imdb_key] = movie
+        return movies
+
+
+def load_mg_pickle(path: str) -> "OrderedDict[str, MovieGraph]":
+    return _ShimUnpickler.load(path)

@@ -1,0 +1,28 @@
+import os
+
+# Force CPU with 8 virtual devices BEFORE jax import so sharding tests can
+# exercise a real multi-device mesh without TPU hardware.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def synth_root(tmp_path_factory):
+    from lirec_tpu.data import synthetic
+
+    root = tmp_path_factory.mktemp("mg_synth")
+    synthetic.generate(str(root))
+    return str(root)
+
+
+@pytest.fixture(scope="session")
+def synth_cfg(synth_root):
+    from lirec_tpu.data import synthetic
+
+    return synthetic.make_config(synth_root)
