@@ -159,12 +159,16 @@ def _clip_graph_json(
     duration = spec.duration
     fname = _scene_fname(scene, duration)
     nodes, edges = [], []
-    for eid, name in enumerate(CAST, start=1):
+    # 2- or 3-person clips: with 2 entities the reference's per-pair `bi`
+    # reset quirk (ref util_functions.py:132) lets bidirectionality survive
+    n_cast = 2 if rng.random() < 0.5 else 3
+    for eid, name in enumerate(CAST[:n_cast], start=1):
         nodes.append({"id": eid, "name": name, "type": "entity", "node_id": eid})
 
-    n_inters = int(rng.integers(1, 3))
+    n_inters = int(rng.integers(1, 4))
     raw_names = [RAW_INTERACTIONS[int(rng.integers(len(RAW_INTERACTIONS)))][0]
                  for _ in range(n_inters)]
+    pairs = []
     for k, inter_name in enumerate(raw_names):
         inter_id, time_id = 10 + k, 20 + k
         nodes.append({"id": inter_id, "name": inter_name, "type": "interaction"})
@@ -177,21 +181,30 @@ def _clip_graph_json(
             }
         )
         edges.append({"source": inter_id, "target": time_id})
-        a, b = rng.permutation(3)[:2] + 1
-        a, b = int(a), int(b)
+        if rng.random() < 0.5:  # bias toward a recurring pair for long contexts
+            a, b = 1, 2
+        else:
+            a, b = (int(x) for x in rng.permutation(n_cast)[:2] + 1)
+        pairs.append((a, b))
         edges.append({"source": a, "target": inter_id})
         edges.append({"source": inter_id, "target": b})
-        if rng.random() < 0.4:  # bidirectional
+        if rng.random() < 0.5:  # bidirectional
             edges.append({"source": b, "target": inter_id})
             edges.append({"source": inter_id, "target": a})
-        if rng.random() < 0.3:  # a third participant on some clips
+        if n_cast == 3 and rng.random() < 0.3:  # occasional third participant
             c = int(({1, 2, 3} - {a, b}).pop())
             edges.append({"source": c, "target": inter_id})
 
     rel_raw = list(RAW_RELS)[int(rng.integers(len(RAW_RELS)))]
     nodes.append({"id": 30, "name": rel_raw, "type": "relationship"})
-    edges.append({"source": 1, "target": 30})
-    edges.append({"source": 30, "target": 2})
+    # bias the relationship onto an actual interaction pair so GT
+    # relationship labels are frequently non-None
+    if pairs and rng.random() < 0.7:
+        ra, rb = pairs[0]
+    else:
+        ra, rb = 1, 2
+    edges.append({"source": ra, "target": 30})
+    edges.append({"source": 30, "target": rb})
 
     return {
         "situation": "synthetic",
@@ -343,7 +356,7 @@ def generate(root: str, spec: SyntheticSpec = None) -> config_lib.ExperimentConf
     for mode, movies in spec.movies.items():
         split[mode] = movies
         for movie in movies:
-            scenes_by_movie[movie] = [2, 5]
+            scenes_by_movie[movie] = [2, 4, 6, 8, 10, 12, 14, 16]
     with open(ops.join(root, "others", "split.json"), "w") as f:
         json.dump(split, f)
     with open(ops.join(root, "others", "org_res.txt"), "w") as f:
