@@ -1,0 +1,139 @@
+"""Model/loss selection mirroring the reference factory
+(ref `mlp/model.py:578-609`), behind a uniform apply/loss interface usable
+with dense batches (parity path) or packed index batches + feature tables
+(TPU fast path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from lirec_tpu.models import losses as losses_lib
+from lirec_tpu.models.blocks import slices_from_dense, slices_from_tables
+from lirec_tpu.models.midfusion import (
+    init_midfusion,
+    midfusion_forward,
+    midfusion_maxtracks_forward,
+)
+from lirec_tpu.models.modalities import init_modalities, modalities_forward
+from lirec_tpu.models.spec import ModelSpec
+
+__all__ = ["ModelBundle", "create_model", "apply_model"]
+
+
+def apply_model(
+    params: Dict,
+    spec: ModelSpec,
+    batch: Dict,
+    tables: Optional[Dict] = None,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> Dict:
+    """Dispatch to the configured architecture.
+
+    batch carries either dense ``features`` (reference layout) or packed
+    ``feat_idx`` index triples resolved against ``tables``.
+    """
+    if "feat_idx" in batch:
+        s = slices_from_tables(tables, batch["feat_idx"])
+    else:
+        s = slices_from_dense(jnp.asarray(batch["features"]), spec)
+
+    if spec.mod_check:
+        if s.text.ndim == 3:  # [B, 1, D] -> GT row
+            s = s.index(slice(None), 0)
+        return modalities_forward(params, spec, s, deterministic, rng)
+
+    rels_mask = batch.get("rels_mask")
+    if rels_mask is not None:
+        rels_mask = jnp.asarray(rels_mask)
+    if spec.tr_maximize:
+        if s.text.ndim == 3:  # ctx-off dense [B, T, D] -> [B, T, 1, D]
+            s = type(s)(*(a[:, :, None, :] for a in s))
+        return midfusion_maxtracks_forward(
+            params, spec, s, rels_mask, deterministic, rng
+        )
+    return midfusion_forward(params, spec, s, rels_mask, deterministic, rng)
+
+
+class ModelBundle(NamedTuple):
+    spec: ModelSpec
+    params: Dict
+    apply: Callable  # apply(params, batch, tables=None, deterministic, rng)
+    loss: Callable  # loss(outputs, batch, rng=None, tr_sum_max_flag=None)
+
+
+def create_model(cfg, n_classes: int, n_rels: int = 0, key=None) -> ModelBundle:
+    """Build (spec, params, apply, loss) for a config
+    (model/loss table: ref mlp/model.py:578-597)."""
+    spec = ModelSpec.from_config(cfg, n_classes, n_rels)
+    key = key if key is not None else jax.random.PRNGKey(cfg.optim.seed)
+    if spec.mod_check:
+        params = init_modalities(key, spec)
+    else:
+        params = init_midfusion(key, spec)
+
+    t, o = cfg.tasks, cfg.optim
+
+    if t.tr_maximize and t.rels_multitask:
+        def loss(outputs, batch, rng=None, tr_sum_max_flag=None):
+            return losses_lib.margin_track_rels_loss(
+                outputs,
+                batch,
+                n_rels,
+                tr_margin=o.tr_margin,
+                lymbda=o.lymbda,
+                tr_correct=t.tr_correct,
+                tr_cat_distr=t.tr_cat_distr,
+                tr_max_neg=t.tr_max_neg,
+                tr_sum_max_flag=(
+                    t.tr_sum_max_flag
+                    if tr_sum_max_flag is None
+                    else tr_sum_max_flag
+                ),
+                rng=rng,
+            )
+    elif t.tr_maximize:
+        def loss(outputs, batch, rng=None, tr_sum_max_flag=None):
+            return losses_lib.margin_loss(
+                outputs,
+                batch,
+                tr_margin=o.tr_margin,
+                tr_correct=t.tr_correct,
+                tr_cat_distr=t.tr_cat_distr,
+                tr_max_neg=t.tr_max_neg,
+                tr_sum_max_flag=(
+                    t.tr_sum_max_flag
+                    if tr_sum_max_flag is None
+                    else tr_sum_max_flag
+                ),
+                rng=rng,
+            )
+    elif t.rels_multitask:
+        def loss(outputs, batch, rng=None, tr_sum_max_flag=None):
+            return losses_lib.multitask_max_margin_loss(
+                outputs,
+                batch,
+                n_rels,
+                margin=o.margin,
+                lymbda=o.lymbda,
+                ints=t.ints,
+                ctx=t.ctx,
+            )
+    else:
+        def loss(outputs, batch, rng=None, tr_sum_max_flag=None):
+            return losses_lib.max_margin_ce_loss(outputs, batch, margin=o.margin)
+
+    apply = functools.partial(apply_model, spec=spec)
+
+    def apply_fn(params, batch, tables=None, deterministic=True, rng=None):
+        return apply_model(
+            params, spec, batch, tables=tables,
+            deterministic=deterministic, rng=rng,
+        )
+
+    return ModelBundle(spec=spec, params=params, apply=apply_fn, loss=loss)

@@ -1,0 +1,66 @@
+"""Functional layers over parameter pytrees.
+
+Linear layers store ``kernel [in, out]`` (the transpose of torch's
+``weight``) and use torch-compatible default init — uniform
+(-1/sqrt(fan_in), 1/sqrt(fan_in)) for kernel and bias — so converted
+reference checkpoints and freshly-initialized models share statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["init_linear", "linear", "DropoutRng", "dropout"]
+
+Params = Dict[str, jnp.ndarray]
+
+
+def init_linear(key: jax.Array, in_dim: int, out_dim: int, dtype=jnp.float32) -> Params:
+    kkey, bkey = jax.random.split(key)
+    bound = 1.0 / jnp.sqrt(in_dim)
+    return {
+        "kernel": jax.random.uniform(
+            kkey, (in_dim, out_dim), dtype, minval=-bound, maxval=bound
+        ),
+        "bias": jax.random.uniform(
+            bkey, (out_dim,), dtype, minval=-bound, maxval=bound
+        ),
+    }
+
+
+def linear(params: Params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    kernel, bias = params["kernel"], params["bias"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        kernel = kernel.astype(compute_dtype)
+    y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
+    return y + bias.astype(y.dtype)
+
+
+class DropoutRng:
+    """Splits one base key into per-call dropout keys (call-order stable)."""
+
+    def __init__(self, key: Optional[jax.Array]):
+        self.key = key
+        self._n = 0
+
+    def next(self) -> Optional[jax.Array]:
+        if self.key is None:
+            return None
+        self._n += 1
+        return jax.random.fold_in(self.key, self._n)
+
+
+def dropout(
+    x: jnp.ndarray, rate: float, rng: DropoutRng, deterministic: bool
+) -> jnp.ndarray:
+    """Inverted dropout matching torch semantics (scale 1/(1-p) at train)."""
+    if deterministic or rate == 0.0:
+        return x
+    key = rng.next()
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)

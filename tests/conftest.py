@@ -1,13 +1,22 @@
 import os
 
 # Force CPU with 8 virtual devices BEFORE jax import so sharding tests can
-# exercise a real multi-device mesh without TPU hardware.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# exercise a real multi-device mesh without TPU hardware. The environment may
+# preset JAX_PLATFORMS (e.g. 'axon' for the tunneled TPU) — tests always
+# override: parity thresholds assume f32 CPU matmuls.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# A sitecustomize (e.g. /root/.axon_site) may have imported jax already with
+# the axon TPU platform selected; the config update below still wins as long
+# as no backend has been initialized.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

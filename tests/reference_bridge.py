@@ -194,6 +194,29 @@ def configure_opt(cfg) -> None:
     opt.rels_maximize = False
 
 
+class legacy_byte_masks:
+    """Scoped torch-1.1 compatibility: the reference indexes with ByteTensor
+    masks (ref mlp/model.py:459-460 etc.), which torch 2.x rejects. Mapping
+    ByteTensor/.byte() to bool preserves the original semantics (masks are
+    only ever 0/1)."""
+
+    def __enter__(self):
+        import torch
+
+        self._byte_tensor = torch.ByteTensor
+        self._byte = torch.Tensor.byte
+        torch.ByteTensor = lambda arr: torch.as_tensor(arr, dtype=torch.bool)
+        torch.Tensor.byte = lambda self: self.to(torch.bool)
+        return self
+
+    def __exit__(self, *exc):
+        import torch
+
+        torch.ByteTensor = self._byte_tensor
+        torch.Tensor.byte = self._byte
+        return False
+
+
 class first_element_choice:
     """Context manager forcing np.random.choice -> first element, to align
     the reference's global-RNG multi-label draws with our injected
