@@ -1,0 +1,161 @@
+"""Shared entry-point plumbing (ref `resume/*.py` catch_inner/pipeline).
+
+Each entry point resolves a preset config, builds the split datasets, loads
+or trains a model, and evaluates — with the reference's exact split choices:
+`modalities`/`int_rels` build their (nominal) train dataset from the **val**
+split, `int_ch`/`int_rel_ch` from the **test** split (ref resume/modalties.py:21,
+int_rels.py:25, int_ch.py:22, int_rel_ch.py:23 — they never train).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+from lirec_tpu import config as config_lib
+from lirec_tpu.checkpoint import load_params, load_torch_checkpoint
+from lirec_tpu.data.dataset import InteractionDataset
+from lirec_tpu.evaluation.runner import evaluate
+from lirec_tpu.models.factory import create_model
+from lirec_tpu.train.loop import train as train_loop
+
+TRAIN_SPLIT = {
+    "modalities": "val",
+    "int_rels": "val",
+    "int_ch": "test",
+    "int_rel_ch": "test",
+}
+
+
+def build_parser(preset_name: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="lirec-tpu %s" % preset_name)
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--store-root", default="")
+    p.add_argument("--sanity-check", action="store_true",
+                   help="one movie per split (ref README.md:52-53)")
+    if preset_name in ("int_ch", "int_rel_ch"):
+        p.add_argument("--tr-correct", action="store_true",
+                       help="GT-track supervision (vs weak)")
+    p.add_argument("--resume-path", default=None,
+                   help=".pth.tar or .ckpt; default: the released checkpoint "
+                        "path for this preset under <data-root>/models_release")
+    p.add_argument("--train", action="store_true",
+                   help="train instead of evaluating a checkpoint")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--text-dim", type=int, default=768)
+    p.add_argument("--visual-dim", type=int, default=2048)
+    p.add_argument("--text-layers", type=int, default=12)
+    p.add_argument("--joint-dim", type=int, default=512)
+    p.add_argument("--compute-dtype", default=None,
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def config_from_args(preset_name: str, args) -> config_lib.ExperimentConfig:
+    kw = {}
+    if hasattr(args, "tr_correct"):
+        kw["tr_correct"] = args.tr_correct
+    cfg = config_lib.preset(
+        preset_name,
+        data_root=args.data_root,
+        store_root=args.store_root or os.path.join(args.data_root, "store"),
+        sanity_check=args.sanity_check,
+        **kw,
+    )
+    cfg = cfg.with_dims(
+        text_dim=args.text_dim,
+        visual_dim=args.visual_dim,
+        text_layers=args.text_layers,
+        joint_dim=args.joint_dim,
+    )
+    if args.epochs is not None:
+        cfg = cfg.with_optim(epochs=args.epochs)
+    if args.batch_size is not None:
+        cfg = cfg.with_optim(batch_size=args.batch_size)
+    if args.compute_dtype:
+        cfg = cfg.with_runtime(compute_dtype=args.compute_dtype)
+    if args.resume_path is not None:
+        cfg = cfg.replace(resume_path=args.resume_path)
+    if args.train:
+        cfg = cfg.replace(resume=False)
+    return cfg
+
+
+def load_checkpoint_params(path: str, template=None):
+    if path.endswith((".pth.tar", ".pth", ".tar")):
+        params, _ = load_torch_checkpoint(path)
+        return params
+    return load_params(path, template=template)
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: repeated entry-point runs skip the
+    (CPU ~10s, TPU ~30s) jit compiles."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "LIREC_TPU_CACHE", os.path.expanduser("~/.cache/lirec_tpu_xla")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax without the persistent cache
+
+
+def run_entry(preset_name: str, argv=None) -> dict:
+    args = build_parser(preset_name).parse_args(argv)
+    cfg = config_from_args(preset_name, args)
+    verbose = not args.quiet
+    _enable_compilation_cache()
+
+    needs_rels = cfg.tasks.rels or cfg.tasks.rels_multitask
+    datasets = {}
+    train_split = TRAIN_SPLIT[preset_name]
+    train_ds = InteractionDataset(cfg, mode=train_split)
+    train_ds.cache()
+    val_ds = InteractionDataset(cfg, mode="val")
+    val_ds.n_classes = train_ds.n_classes
+    val_ds.cache()
+    test_ds = InteractionDataset(cfg, mode="test")
+    test_ds.n_classes = train_ds.n_classes
+    test_ds.cache()
+    if needs_rels:
+        train_ds.init_relships()
+        val_ds.init_relships()
+        test_ds.init_relships()
+
+    n_classes = train_ds.n_classes
+    n_rels = max(len(train_ds.rels_list) - 1, 0)
+    bundle = create_model(cfg, n_classes, n_rels=n_rels)
+    params = bundle.params
+
+    if cfg.resume and cfg.resume_path:
+        params = load_checkpoint_params(cfg.resume_path, template=params)
+        if verbose:
+            print("loaded checkpoint: %s" % cfg.resume_path)
+
+    results = {}
+    if not cfg.resume:
+        out = train_loop(
+            cfg, bundle, train_ds, val_dataset=val_ds, test_dataset=test_ds,
+            verbose=verbose,
+        )
+        params = out["params"]
+        results["train"] = {"losses": out["losses"]}
+    else:
+        if verbose:
+            print("testing on validation set")
+        results["val"] = evaluate(
+            val_ds, bundle, params, cfg, mode="val", verbose=verbose
+        )
+        if verbose:
+            print("testing on test set")
+        results["test"] = evaluate(
+            test_ds, bundle, params, cfg, mode="test", verbose=verbose
+        )
+    return results

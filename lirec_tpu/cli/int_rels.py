@@ -1,0 +1,11 @@
+"""Entry point mirroring the reference `resume/int_rels.py` evaluation."""
+
+from lirec_tpu.cli.common import run_entry
+
+
+def main(argv=None):
+    return run_entry("int_rels", argv)
+
+
+if __name__ == "__main__":
+    main()

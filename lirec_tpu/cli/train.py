@@ -1,0 +1,18 @@
+"""First-class training entry (the reference only latently trains via
+`mlp/train.py`; no reference script invokes it with resume=False)."""
+
+import sys
+
+from lirec_tpu.cli.common import run_entry
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    preset = "int_rel_ch"
+    if argv and not argv[0].startswith("-"):
+        preset = argv.pop(0)
+    return run_entry(preset, argv + ["--train"])
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,325 @@
+"""Evaluation metric accumulators (ref `utils/evaluation.py`).
+
+Vectorized numpy reimplementations with the reference's exact counting
+semantics, derived in closed form from the original's in-place boolean
+narrowing. Documented quirks kept bug-for-bug:
+
+- `rels_top1` divides by `total` (the non-zero sample count), not
+  `total_rels`: the second definition at evaluation.py:359 shadows the one
+  at :353.
+- the second-GT-slot pass counts `cls_top1`/`rels_top1` only for samples the
+  first slot got wrong (ref :162,260), and `trks_top1` only when the
+  class-conditioned track prediction missed slot 0 AND slot 1 is set
+  (ref :160-163).
+- joint `top1` credits slot 1 only when the track prediction missed slot 0
+  (ref :255,261-271).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    out = np.empty_like(x, dtype=np.float64)
+    np.clip(x, -500, 500, out=out)
+    return 1.0 / (1.0 + np.exp(-out))
+
+
+class MetricAccumulator:
+    """Counter state matching the reference `Precision` object."""
+
+    def __init__(self, n_rels: int = 0):
+        self._top1 = 0
+        self._top3 = 0
+        self._top5 = 0
+        self._top1_sf = 0
+        self._top5_sf = 0
+        self._trks_top1 = 0
+        self._cls_top1 = 0
+        self._rels_top1 = 0
+        self.total = 0
+        self.total_cl = 0
+        self.total_rels = 0
+        self.n_rels = n_rels
+
+    # -- plain top-k (ref evaluation.py:68-107) -------------------------
+
+    def update_probs(
+        self,
+        pr_probs: np.ndarray,
+        gt: np.ndarray,
+        soft_labels: Optional[np.ndarray] = None,
+        conf_mat: Optional[np.ndarray] = None,
+    ):
+        pr_probs = np.asarray(pr_probs)
+        gt = np.asarray(gt).reshape(-1)
+        self.total += len(gt)
+        pr_classes = np.argsort(-pr_probs, axis=1)
+        self._top1 += int(np.sum(pr_classes[:, 0] == gt))
+        self._top3 += int(np.sum((pr_classes[:, :3] == gt[:, None]).any(axis=1)))
+        self._top5 += int(np.sum((pr_classes[:, :5] == gt[:, None]).any(axis=1)))
+        if soft_labels is not None:
+            # first top-5 prediction inside the soft set decides both
+            # counters (ref :87-94)
+            for idx, top5 in enumerate(pr_classes[:, :5]):
+                soft = soft_labels[idx]
+                for rank, pred in enumerate(top5):
+                    if pred in soft:
+                        if rank == 0:
+                            self._top1_sf += 1
+                        self._top5_sf += 1
+                        break
+        if conf_mat is not None:
+            for gt_label, pr_label in zip(gt, pr_classes[:, 0]):
+                conf_mat[gt_label, pr_label] += 1
+            return conf_mat
+        return None
+
+    # -- grounding (ref evaluation.py:114-177) ---------------------------
+
+    def update_probs_max_tracks(
+        self,
+        pr_probs: np.ndarray,
+        gt_tracks: np.ndarray,
+        gt_classes: np.ndarray,
+        mask: np.ndarray,
+        just_zeros: np.ndarray,
+    ) -> None:
+        logits = np.array(pr_probs, dtype=np.float64)
+        gt_tracks = np.asarray(gt_tracks).astype(int)
+        gt_classes = np.asarray(gt_classes).astype(int).reshape(-1)
+        mask = np.asarray(mask).astype(bool)
+        nz = ~np.asarray(just_zeros).astype(bool)
+
+        logits[~mask] = -np.inf
+        s_all = _sigmoid(logits)  # [B, T, C]; masked rows -> 0
+        B = s_all.shape[0]
+        rows = np.arange(B)
+        g0, g1 = gt_tracks[:, 0], gt_tracks[:, 1]
+        has2 = g1 != 0
+
+        self.total += int(nz.sum())
+        self.total_cl += B
+
+        # class accuracy at the GT slots (all samples; ref :152-162)
+        l0 = np.argmax(s_all[rows, g0, :], axis=1)
+        l1 = np.argmax(s_all[rows, g1, :], axis=1)
+        correct0 = l0 == gt_classes
+        self._cls_top1 += int(correct0.sum())
+        self._cls_top1 += int((~correct0 & (l1 == gt_classes)).sum())
+
+        # class-conditioned track choice (non-zero samples; ref :137,160-163)
+        col = s_all[rows, :, gt_classes]  # [B, T]
+        pr_track = np.argmax(col, axis=1)
+        hit0 = pr_track == g0
+        hit1 = has2 & ~hit0 & (pr_track == g1)
+        self._trks_top1 += int((nz & hit0).sum()) + int((nz & hit1).sum())
+
+        # joint (track, class) argmax (ref :144-147,166-175)
+        flat = s_all.reshape(B, -1)
+        arg = np.argmax(flat, axis=1)
+        C = s_all.shape[2]
+        t_star, c_star = arg // C, arg % C
+        joint0 = (c_star == gt_classes) & (t_star == g0)
+        joint1 = has2 & ~hit0 & (c_star == gt_classes) & (t_star == g1)
+        self._top1 += int((nz & joint0).sum()) + int((nz & joint1).sum())
+
+    # -- grounding + relationships (ref evaluation.py:179-271) ----------
+
+    def update_probs_max_tracks_rels(
+        self,
+        pr_probs_cl: np.ndarray,
+        pr_probs_rels: np.ndarray,
+        gt_classes: np.ndarray,
+        gt_rels: np.ndarray,
+        gt_tracks: np.ndarray,
+        mask: np.ndarray,
+        just_zeros: np.ndarray,
+        rels_sample_idx: np.ndarray,
+    ) -> None:
+        """rels_sample_idx: indices of samples whose GT-slot relationship is
+        not 'None' (the reference's `rels_mask` nonzero tensor)."""
+        cl = np.array(pr_probs_cl, dtype=np.float64)
+        rl = np.array(pr_probs_rels, dtype=np.float64)
+        gt_tracks = np.asarray(gt_tracks).astype(int)
+        gt_classes = np.asarray(gt_classes).astype(int).reshape(-1)
+        gt_rels = np.asarray(gt_rels).astype(int)  # [B, T]
+        mask = np.asarray(mask).astype(bool)
+        nz = ~np.asarray(just_zeros).astype(bool)
+        ridx = np.asarray(rels_sample_idx).astype(int).reshape(-1)
+
+        cl[~mask] = -np.inf
+        rl[~mask] = -np.inf
+        B, T, C = cl.shape
+        rows = np.arange(B)
+        g0, g1 = gt_tracks[:, 0], gt_tracks[:, 1]
+        has2 = g1 != 0
+        K = len(ridx)
+
+        self.total += int(nz.sum())
+        self.total_cl += B
+        self.total_rels += K
+
+        s_cl = _sigmoid(cl)
+        # 'None' column appended AFTER the sigmoid -> its score is 0 (ref :220)
+        s_rl = np.concatenate(
+            [_sigmoid(rl), np.zeros((B, T, 1))], axis=2
+        )
+        R1 = s_rl.shape[2]
+        rel0 = gt_rels[rows, 0]  # GT-slot relationship label (ref :200)
+
+        # class accuracy at GT slots (ref :241-257)
+        l0 = np.argmax(s_cl[rows, g0, :], axis=1)
+        l1 = np.argmax(s_cl[rows, g1, :], axis=1)
+        correct0 = l0 == gt_classes
+        self._cls_top1 += int(correct0.sum())
+        self._cls_top1 += int((~correct0 & (l1 == gt_classes)).sum())
+
+        # relationship accuracy at GT slots, rels-subset only (ref :243-260)
+        if K:
+            r_rl = rl[ridx]  # raw logits; argmax is sigmoid-invariant
+            rg0, rg1 = g0[ridx], g1[ridx]
+            p0 = np.argmax(r_rl[np.arange(K), rg0, :], axis=1)
+            p1 = np.argmax(r_rl[np.arange(K), rg1, :], axis=1)
+            gt_now0 = gt_rels[ridx, rg0]
+            gt_now1 = gt_rels[ridx, rg1]
+            rcorrect0 = p0 == gt_now0
+            self._rels_top1 += int(rcorrect0.sum())
+            self._rels_top1 += int((~rcorrect0 & (p1 == gt_now1)).sum())
+
+        # class+rel-conditioned track choice (ref :221-222)
+        col = s_cl[rows, :, gt_classes] + s_rl[rows, :, rel0]
+        pr_track = np.argmax(col, axis=1)
+        hit0 = pr_track == g0
+        hit1 = has2 & ~hit0 & (pr_track == g1)
+        self._trks_top1 += int((nz & hit0).sum()) + int((nz & hit1).sum())
+
+        # joint (track, class, rel) argmax over the tiled sum (ref :229-235)
+        tiled = s_cl[:, :, :, None] + s_rl[:, :, None, :]  # [B,T,C,R1]
+        flat = tiled.reshape(B, -1)
+        arg = np.argmax(flat, axis=1)
+        t_star = arg // (C * R1)
+        c_star = (arg % (C * R1)) // R1
+        r_star = (arg % (C * R1)) % R1
+        jmatch = (c_star == gt_classes) & (r_star == rel0)
+        joint0 = jmatch & (t_star == g0)
+        joint1 = has2 & ~hit0 & jmatch & (t_star == g1)
+        self._top1 += int((nz & joint0).sum()) + int((nz & joint1).sum())
+
+    # -- accessors (ref evaluation.py:329-363) ---------------------------
+
+    def top1(self) -> float:
+        return self._top1 / self.total
+
+    def top3(self) -> float:
+        return self._top3 / self.total
+
+    def top5(self) -> float:
+        return self._top5 / self.total
+
+    def top1_sf(self) -> float:
+        return self._top1_sf / self.total
+
+    def top5_sf(self) -> float:
+        return self._top5_sf / self.total
+
+    def trks_top1(self) -> float:
+        return self._trks_top1 / self.total
+
+    def cls_top1(self) -> float:
+        return self._cls_top1 / self.total_cl
+
+    def rels_top1(self) -> float:
+        # reference bug kept: divides by `total`, not `total_rels`
+        # (evaluation.py:359 shadows :353)
+        return self._rels_top1 / self.total
+
+
+class RelationshipsAcc:
+    """Per-(pair, rel)-hash score accumulation across clips
+    (ref evaluation.py:367-417)."""
+
+    def __init__(self, n_rels: int):
+        self.total = 0
+        self._pr_probs: Dict[int, np.ndarray] = {}
+        self._gt: Dict[int, int] = {}
+        self._top1 = 0
+        self._top3 = 0
+        self.conf_mat = np.zeros((n_rels, n_rels))
+
+    def update(self, pr_probs: np.ndarray, gt: np.ndarray, hashes) -> None:
+        pr_probs = _sigmoid(np.asarray(pr_probs, dtype=np.float64))
+        gt = np.asarray(gt).astype(int).reshape(-1)
+        hashes = np.asarray(hashes).astype(int).reshape(-1)
+        assert len(pr_probs) == len(gt)
+        assert -1 not in hashes
+        for i, h in enumerate(hashes):
+            h = int(h)
+            if h in self._gt:
+                self._pr_probs[h] += pr_probs[i]
+            else:
+                self._gt[h] = int(gt[i])
+                self._pr_probs[h] = pr_probs[i].copy()
+
+    def _compute(self) -> None:
+        self.total = len(self._gt)
+        for h, gt in self._gt.items():
+            order = np.argsort(-self._pr_probs[h])
+            self.conf_mat[gt, order[0]] += 1
+            if gt == order[0]:
+                self._top1 += 1
+                self._top3 += 1
+            elif gt in order[:3]:
+                self._top3 += 1
+
+    def top1(self) -> float:
+        if self.total == 0:
+            self._compute()
+        return self._top1 / self.total
+
+    def top3(self) -> float:
+        if self.total == 0:
+            self._compute()
+        return self._top3 / self.total
+
+
+class TracksSearch:
+    """Track-pair search metric (ref evaluation.py:433-483); not used by the
+    standard entry points but part of the metric surface."""
+
+    def __init__(self):
+        self._total = 0
+        self._top1 = 0
+        self._random = 0.0
+        self._with_gt_inter = 0
+
+    def track_pair(self, score_mat, gt_inter_idx, gt_track_idxs) -> None:
+        score_mat = np.asarray(score_mat)
+        if score_mat.ndim == 1:
+            score_mat = score_mat.reshape(1, -1)
+        best = -np.inf
+        pr_inter, pr_track = -1, -1
+        for inter_idx in range(score_mat.shape[1]):
+            max_track = int(np.argmax(score_mat[:, inter_idx]))
+            if inter_idx == gt_inter_idx and max_track in gt_track_idxs:
+                self._with_gt_inter += 1
+            if score_mat[max_track, inter_idx] > best:
+                best = score_mat[max_track, inter_idx]
+                pr_inter, pr_track = inter_idx, max_track
+        if pr_track in gt_track_idxs and pr_inter == gt_inter_idx:
+            self._top1 += 1
+        self._random += 1.0 / score_mat.shape[0]
+        self._total += 1
+
+    def top1(self) -> float:
+        return self._top1 / self._total
+
+    def top1_gt_inter(self) -> float:
+        return self._with_gt_inter / self._total
+
+    def random(self) -> float:
+        return self._random / self._total

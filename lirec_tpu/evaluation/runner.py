@@ -1,0 +1,170 @@
+"""Evaluation loop (ref `mlp/test.py:17-145`).
+
+Batches flow through the jit-compiled model; metric accumulation runs on
+host numpy (cheap: [B, 20, C] per batch). Printed lines and the returned
+metric dict mirror the reference so downstream tooling (ModelSaver keys,
+logs) is interchangeable.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from lirec_tpu.data.pipeline import BatchIterator
+from lirec_tpu.evaluation.metrics import MetricAccumulator, RelationshipsAcc
+
+__all__ = ["evaluate"]
+
+
+def evaluate(
+    dataset,
+    bundle,
+    params,
+    cfg,
+    mode: str = "val",
+    tables: Optional[Dict] = None,
+    batch_iterator: Optional[BatchIterator] = None,
+    dense: bool = False,
+    verbose: bool = True,
+    jit_apply=None,
+) -> Dict[str, float]:
+    """Run one evaluation pass; returns the ModelSaver metric dict
+    {'total', 'ints'[, 'rels'][, 'tracks', 'joint']} (ref test.py:138-145)."""
+    t = cfg.tasks
+    n_rels = dataset.n_rels
+    prec = MetricAccumulator(n_rels=n_rels)
+    prec_rels = RelationshipsAcc(n_rels=n_rels) if t.rels_multitask else None
+    conf_mat = np.zeros((dataset.n_classes, dataset.n_classes))
+    losses = []
+
+    if tables is None and not dense:
+        tb = dataset.tables
+        tables = {"text": tb.text, "visual": tb.visual, "track": tb.track}
+    if tables is not None:
+        tables = jax.tree.map(jax.numpy.asarray, tables)
+    it = batch_iterator or BatchIterator(
+        dataset, cfg.optim.batch_size, shuffle=False, dense=dense
+    )
+
+    model_keys = ("features", "feat_idx", "rels_mask")
+
+    def _step(p, b, tb):
+        model_batch = {k: b[k] for k in model_keys if k in b}
+        out = bundle.apply(p, model_batch, tables=tb)
+        # fixed key: only tr_cat_distr-style losses sample, and eval uses a
+        # deterministic draw
+        return out, bundle.loss(out, b, rng=jax.random.PRNGKey(0))
+
+    step_fn = jit_apply or jax.jit(_step)
+
+    for batch in it:
+        if len(np.atleast_1d(batch["labels"])) == 1:
+            continue  # ref test.py:38-39
+        outputs, loss = step_fn(params, batch, tables)
+        outputs = {
+            k: (np.asarray(v) if v is not None else None)
+            for k, v in outputs.items()
+        }
+        losses.append(float(loss))
+
+        if t.soft_gt:
+            conf_mat = prec.update_probs(
+                outputs["inters"].reshape(len(batch["labels"]), -1),
+                batch["labels"],
+                soft_labels=batch["soft_labels"],
+                conf_mat=conf_mat,
+            )
+        elif t.tr_maximize:
+            if t.ints and not t.ctx:
+                prec.update_probs_max_tracks(
+                    outputs["inters"],
+                    gt_tracks=batch["gt_tracks"],
+                    gt_classes=batch["labels"],
+                    mask=batch["mem_mask"],
+                    just_zeros=batch["just_zeros"],
+                )
+            elif t.ints and t.ctx:
+                # samples whose GT-slot relationship is labeled
+                # (ref test.py:62)
+                ridx = np.nonzero(
+                    batch["rels_label"][:, 0] - n_rels + 1
+                )[0]
+                prec.update_probs_max_tracks_rels(
+                    outputs["inters"],
+                    outputs["rels"],
+                    gt_classes=batch["labels"],
+                    gt_rels=batch["rels_label"],
+                    gt_tracks=batch["gt_tracks"],
+                    mask=batch["mem_mask"],
+                    just_zeros=batch["just_zeros"],
+                    rels_sample_idx=ridx,
+                )
+        elif t.rels_multitask:
+            if t.ints:
+                bs = len(batch["labels"])
+                inters = outputs["inters"].reshape(bs, -1, dataset.n_classes)[
+                    :, 0
+                ]
+                conf_mat = prec.update_probs(
+                    inters, batch["labels"][:, 0].reshape(-1),
+                    conf_mat=conf_mat,
+                )
+            if t.ctx:
+                valid = np.nonzero(batch["rels_label"] - n_rels + 1)[0]
+                if len(valid):
+                    prec_rels.update(
+                        outputs["rels"][valid],
+                        batch["rels_label"][valid],
+                        batch["hash_rel"][valid],
+                    )
+        else:
+            conf_mat = prec.update_probs(
+                outputs["inters"].reshape(len(batch["labels"]), -1),
+                batch["labels"],
+                conf_mat=conf_mat,
+            )
+
+    def log(msg):
+        if verbose:
+            print(msg)
+
+    avg_loss = float(np.mean(losses)) if losses else 0.0
+    out_val = out_ints = out_rels = out_tr = out_joint = 0.0
+    if t.ints:
+        log("%s loss: %f" % (mode.upper(), avg_loss))
+        log("%s pr@1: %f" % (mode.upper(), prec.top1()))
+        if not t.tr_maximize:
+            log("%s pr@5: %f" % (mode.upper(), prec.top5()))
+        out_ints = prec.top1()
+        out_joint = prec.top1()
+        out_val += out_ints
+    if t.soft_gt:
+        log("%s pr soft@1 %f" % (mode.upper(), prec.top1_sf()))
+        log("%s pr soft@5 %f" % (mode.upper(), prec.top5_sf()))
+    if t.tr_maximize:
+        out_ints = prec.cls_top1()
+        out_tr = prec.trks_top1()
+        out_val = out_val + out_tr + out_ints
+        log("%s pr@trks: %f" % (mode.upper(), prec.trks_top1()))
+        log("%s pr@cls: %f" % (mode.upper(), prec.cls_top1()))
+        if t.ctx:
+            out_rels = prec.rels_top1()
+            log("%s pr@rels: %f" % (mode.upper(), prec.rels_top1()))
+            out_val += out_rels
+    if t.rels_multitask and t.ctx and not t.tr_maximize:
+        out_rels = prec_rels.top1()
+        out_val += out_rels
+        log("%s rels@top1: %f" % (mode.upper(), prec_rels.top1()))
+        log("%s rels@top3: %f" % (mode.upper(), prec_rels.top3()))
+        log("%s rel+int: %f" % (mode.upper(), out_val))
+
+    out = {"total": out_val, "ints": out_ints, "loss": avg_loss}
+    if t.rels_multitask:
+        out["rels"] = out_rels
+    if t.tr_maximize:
+        out["tracks"] = out_tr
+        out["joint"] = out_joint
+    return out

@@ -1,0 +1,151 @@
+"""Training loop (ref `mlp/train.py:21-107`), jit-compiled end to end.
+
+Differences from the reference, by design:
+- the whole step (forward + loss + grad + Adam update) is one jitted
+  function; the `tr_sum_max` curriculum flip at epoch 20 (ref :49-51) is a
+  static argument, costing one recompile when it flips;
+- dropout and categorical sampling use explicit PRNG keys;
+- checkpoints are msgpack pytrees via BestNSaver (ModelSaver-parity policy).
+"""
+
+from __future__ import annotations
+
+import functools
+import os.path as ops
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+import optax
+
+from lirec_tpu.checkpoint.saver import BestNSaver, save_params
+from lirec_tpu.data.pipeline import BatchIterator
+from lirec_tpu.evaluation.runner import evaluate
+from lirec_tpu.train.optim import make_optimizer
+
+__all__ = ["train", "make_train_step"]
+
+MODEL_KEYS = ("features", "feat_idx", "rels_mask")
+
+
+def make_train_step(bundle, tx):
+    """Build the jitted (params, opt_state, batch, tables, rng) -> update
+    step. `tables` ride through jit as regular (shardable) arguments."""
+
+    @functools.partial(jax.jit, static_argnames=("tr_sum_max_flag",))
+    def step(params, opt_state, batch, tables, rng, tr_sum_max_flag=True):
+        rng_drop, rng_loss = jax.random.split(rng)
+        model_batch = {k: batch[k] for k in MODEL_KEYS if k in batch}
+
+        def loss_fn(p):
+            outputs = bundle.apply(
+                p, model_batch, tables=tables,
+                deterministic=False, rng=rng_drop,
+            )
+            return bundle.loss(
+                outputs, batch, rng=rng_loss,
+                tr_sum_max_flag=tr_sum_max_flag,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def train(
+    cfg,
+    bundle,
+    train_dataset,
+    val_dataset=None,
+    test_dataset=None,
+    tables: Optional[Dict] = None,
+    params: Optional[Dict] = None,
+    opt_state=None,
+    verbose: bool = True,
+    dense: bool = False,
+) -> Dict:
+    """Run the epoch loop; returns {'params', 'opt_state', 'saver',
+    'final_path'} (control flow: ref mlp/train.py:41-107)."""
+    o, t = cfg.optim, cfg.tasks
+    params = params if params is not None else bundle.params
+    tx = make_optimizer(o.lr, o.weight_decay)
+    if opt_state is None:
+        opt_state = tx.init(params)
+    if tables is None and not dense:
+        tb = train_dataset.tables
+        tables = {"text": tb.text, "visual": tb.visual, "track": tb.track}
+    if tables is not None:
+        tables = jax.tree.map(jax.numpy.asarray, tables)
+    step = make_train_step(bundle, tx)
+    saver = BestNSaver(path=cfg.paths.store_root, n=o.keep_best_n)
+    iterator = BatchIterator(
+        train_dataset, o.batch_size, shuffle=True, seed=o.seed, dense=dense
+    )
+    base_rng = jax.random.PRNGKey(o.seed)
+
+    tr_sum_max_flag = t.tr_sum_max_flag
+    def log(msg):
+        if verbose:
+            print(msg)
+
+    losses = []
+    for epoch in range(o.epochs):
+        if t.tr_sum_max and epoch == 20:
+            tr_sum_max_flag = True  # curriculum flip (ref :49-51)
+        epoch_losses = []
+        start = time.time()
+        for i, batch in enumerate(iterator):
+            if len(np.atleast_1d(batch["labels"])) == 1:
+                continue  # ref :55-56
+            rng = jax.random.fold_in(base_rng, epoch * 100003 + i)
+            params, opt_state, loss = step(
+                params, opt_state, batch, tables, rng,
+                tr_sum_max_flag=tr_sum_max_flag,
+            )
+            epoch_losses.append(float(loss))
+        losses.append(float(np.mean(epoch_losses)) if epoch_losses else 0.0)
+        log(
+            "epoch %d loss: %f (%.2fs)"
+            % (epoch, losses[-1], time.time() - start)
+        )
+
+        if epoch % o.test_fr == 0 and val_dataset is not None:
+            evaluate(
+                train_dataset, bundle, params, cfg, mode="train",
+                tables=tables, dense=dense, verbose=verbose,
+            )
+            check_val = evaluate(
+                val_dataset, bundle, params, cfg, mode="val",
+                tables=tables, dense=dense, verbose=verbose,
+            )
+            check_val = {
+                k: v for k, v in check_val.items() if k != "loss"
+            }
+            if saver.check(check_val):
+                saver.update(
+                    check_val, {"params": params, "epoch": epoch}, epoch
+                )
+                if test_dataset is not None:
+                    evaluate(
+                        test_dataset, bundle, params, cfg, mode="test",
+                        tables=tables, dense=dense, verbose=verbose,
+                    )
+        if o.save_model and o.save_model_often and epoch % 30 == 0:
+            saver.save()
+
+    final_path = ""
+    if o.save_model and cfg.paths.store_root:
+        final_path = ops.join(cfg.paths.store_root, "%d.ckpt" % (o.epochs - 1))
+        save_params(final_path, params, extra={"epoch": o.epochs - 1})
+        saver.save()
+    return {
+        "params": params,
+        "opt_state": opt_state,
+        "saver": saver,
+        "losses": losses,
+        "final_path": final_path,
+    }

@@ -1,0 +1,49 @@
+"""End-to-end smoke: CLI entry points train + evaluate on synthetic data
+through the public surface (the reference's sanity_check-equivalent,
+SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+DIM_ARGS = [
+    "--text-dim", "16", "--visual-dim", "32", "--text-layers", "4",
+    "--joint-dim", "16", "--compute-dtype", "float32",
+]
+
+
+def test_train_then_eval_int_rel_ch(synth_root, tmp_path):
+    from lirec_tpu.cli.common import run_entry
+
+    store = str(tmp_path / "store")
+    out = run_entry(
+        "int_rel_ch",
+        ["--data-root", synth_root, "--store-root", store, "--train",
+         "--epochs", "3", "--batch-size", "8", "--quiet"] + DIM_ARGS,
+    )
+    losses = out["train"]["losses"]
+    assert len(losses) == 3
+    assert losses[-1] < losses[0], "loss should decrease on tiny data"
+
+    out_eval = run_entry(
+        "int_rel_ch",
+        ["--data-root", synth_root, "--store-root", store,
+         "--resume-path", store + "/2.ckpt", "--batch-size", "8",
+         "--quiet"] + DIM_ARGS,
+    )
+    for split in ("val", "test"):
+        m = out_eval[split]
+        for key in ("total", "ints", "rels", "tracks", "joint", "loss"):
+            assert key in m
+        assert np.isfinite(m["loss"])
+
+
+def test_modalities_train_smoke(synth_root, tmp_path):
+    from lirec_tpu.cli.common import run_entry
+
+    out = run_entry(
+        "modalities",
+        ["--data-root", synth_root, "--store-root", str(tmp_path / "s2"),
+         "--train", "--epochs", "2", "--batch-size", "8", "--quiet"]
+        + DIM_ARGS,
+    )
+    assert len(out["train"]["losses"]) == 2
