@@ -1,0 +1,238 @@
+#!/usr/bin/env python
+"""Benchmark: flagship eval throughput (clips/sec) vs the PyTorch-CPU
+reference compute path.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "clips/sec", "vs_baseline": N}
+
+Ours: the full int_rel_ch model (MidFusionMultiClipMaxTracks + loss) on
+packed batches — int32 index triples gathered from deduplicated feature
+tables on device, bf16 matmuls (run on whatever jax.devices() offers; the
+driver runs it on one real TPU chip).
+
+Baseline: the same workload the reference executes per eval batch — a dense
+``[B, 20, 19, 6912]`` float64 batch pushed through an equivalently-shaped
+torch model + MarginTrackRels-style loss on CPU (the reference is
+single-process torch CPU/GPU; CPU is its floor here, ref SURVEY.md §6).
+The measured number is cached in baseline_torch.json; pass
+--measure-baseline to refresh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+# --------------------------------------------------------------- ours (JAX)
+
+
+def bench_jax(batch_size: int, iters: int, warmup: int, compute_dtype: str):
+    import jax
+
+    from lirec_tpu.models.factory import create_model
+    from lirec_tpu import config as config_lib
+    from lirec_tpu.utils.fake_batch import make_batch, make_tables
+
+    cfg = config_lib.preset("int_rel_ch", data_root="/nonexistent")
+    cfg = cfg.with_runtime(compute_dtype=compute_dtype)
+    bundle = create_model(cfg, 101, n_rels=15)
+    n_clips, n_tracks = 2048, 4096
+    import jax.numpy as jnp
+
+    tables = jax.tree.map(jnp.asarray, make_tables(bundle.spec, n_clips, n_tracks))
+    # 4 distinct batches cycled on device. Measurement methodology: the
+    # remote-TPU tunnel here (a) memoizes identical executions and (b) has
+    # a block_until_ready that does not actually wait, so per-step host
+    # timing lies. Instead the WHOLE sweep runs on device inside one jit
+    # (traced-length fori_loop, one dispatch, one result fetch), and the
+    # per-step time is the slope between a short and a long sweep — compile
+    # and RPC constants cancel.
+    batches = [
+        make_batch(bundle.spec, batch_size, n_clips, n_tracks, seed=s)
+        for s in range(4)
+    ]
+    stacked = {
+        k: jnp.stack([jnp.asarray(b[k]) for b in batches])
+        for k in batches[0]
+    }
+
+    @jax.jit
+    def sweep(params, stacked, tables, n):
+        def body(i, carry):
+            batch = jax.tree.map(lambda a: a[i % 4], stacked)
+            model_batch = {k: batch[k] for k in ("feat_idx", "rels_mask")}
+            out = bundle.apply(params, model_batch, tables=tables)
+            loss = bundle.loss(out, batch, rng=jax.random.PRNGKey(0))
+            # fold outputs into the carry so nothing is dead code
+            return (
+                carry
+                + loss
+                + out["inters"].astype(jnp.float32).sum() * 1e-9
+                + out["rels"].astype(jnp.float32).sum() * 1e-9
+            )
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    params = jax.device_put(bundle.params)
+    log("compiling sweep (%s)..." % jax.default_backend())
+    t0 = time.time()
+    float(sweep(params, stacked, tables, 2))
+    log("compile+first run: %.1fs" % (time.time() - t0))
+
+    def timed(n):
+        t0 = time.time()
+        float(sweep(params, stacked, tables, n))
+        return time.time() - t0
+
+    per_steps = []
+    short, long_ = 4, 4 + iters
+    for rep in range(3):
+        t_short = timed(short + 2 * rep + 1)  # distinct n defeats memoization
+        t_long = timed(long_ + 2 * rep)
+        per_steps.append(
+            (t_long - t_short) / (long_ + 2 * rep - (short + 2 * rep + 1))
+        )
+        log(
+            "rep %d: short %.2fs long %.2fs -> %.2f ms/step"
+            % (rep, t_short, t_long, per_steps[-1] * 1000)
+        )
+    per_step = sorted(per_steps)[len(per_steps) // 2]
+    clips_per_sec = batch_size / per_step
+    log(
+        "jax: %.2f ms/step at B=%d -> %.1f clips/sec"
+        % (per_step * 1000, batch_size, clips_per_sec)
+    )
+    return clips_per_sec
+
+
+# ------------------------------------------------------- baseline (torch CPU)
+
+
+def measure_torch_baseline(batch_size: int = 8, iters: int = 3):
+    """Reference-equivalent eval compute on torch CPU: dense float64 batch,
+    per-modality 2-layer MLPs over [B*20, 19, 6912] slices, masked-mean
+    context, gate, heads, margin loss (architecture per ref mlp/model.py)."""
+    import numpy as np
+    import torch
+
+    TEXT, VIS, J = 768, 2048, 512
+    MLP = TEXT + VIS + 2 * VIS
+    C, R = 101, 15
+    T, CTX = 20, 18
+
+    class Branch(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.txt1, self.txt2 = torch.nn.Linear(TEXT, J), torch.nn.Linear(J, J)
+            self.vis1, self.vis2 = torch.nn.Linear(VIS, J), torch.nn.Linear(J, J)
+            self.ta1, self.ta2 = torch.nn.Linear(VIS, J), torch.nn.Linear(J, J // 2)
+            self.tb1, self.tb2 = torch.nn.Linear(VIS, J), torch.nn.Linear(J, J // 2)
+
+        def forward(self, x):
+            t = self.txt2(torch.relu(self.txt1(x[..., :TEXT])))
+            v = self.vis2(torch.relu(self.vis1(x[..., TEXT:TEXT + VIS])))
+            a = self.ta2(torch.relu(self.ta1(x[..., TEXT + VIS:TEXT + 2 * VIS])))
+            b = self.tb2(torch.relu(self.tb1(x[..., TEXT + 2 * VIS:])))
+            return torch.cat([t, v, a, b], dim=-1)
+
+    class RefLike(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ints = Branch()
+            self.ctx = Branch()
+            self.gate = torch.nn.Linear(6 * J, 6 * J)
+            self.out_ints = torch.nn.Linear(6 * J, C)
+            self.out_ctx = torch.nn.Linear(3 * J, R)
+
+        def forward(self, feats, rels_mask):
+            B = feats.shape[0]
+            flat = feats.reshape(B * T, CTX + 1, MLP).float()
+            ints = torch.tanh(self.ints(flat[:, 0]))
+            mask = rels_mask.reshape(B * T, CTX, 1).float()
+            div = mask.sum(1).clamp(min=1.0)
+            ctx = torch.tanh((self.ctx(flat[:, 1:]) * mask).sum(1) / div)
+            fused = torch.relu(self.gate(torch.cat([ctx, ints], dim=-1)))
+            return (
+                self.out_ints(fused).reshape(B, T, C),
+                self.out_ctx(ctx).reshape(B, T, R),
+            )
+
+    model = RefLike().eval()
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((batch_size, T, CTX + 1, MLP))  # float64,
+    # as produced by the reference loader (numpy default dtype)
+    rels_mask = (rng.random((batch_size, T, CTX)) < 0.4).astype(np.int64)
+    labels = torch.tensor(rng.integers(0, C, batch_size))
+    tfeats = torch.tensor(feats)
+    tmask = torch.tensor(rels_mask)
+
+    def margin_losses(ints, rels):
+        s_i, s_r = torch.sigmoid(ints), torch.sigmoid(rels)
+        pos = s_i[torch.arange(batch_size), 0, labels]
+        neg = s_i.reshape(batch_size, -1)
+        li = torch.relu(0.101 - pos[:, None] + neg).sum(1).mean()
+        lr = torch.relu(0.101 - pos[:, None] + s_r.reshape(batch_size, -1)).sum(1).mean()
+        return li + lr
+
+    with torch.no_grad():
+        margin_losses(*model(tfeats, tmask))  # warmup
+        t0 = time.time()
+        for _ in range(iters):
+            margin_losses(*model(tfeats, tmask))
+        dt = time.time() - t0
+    clips_per_sec = batch_size * iters / dt
+    log(
+        "torch-cpu baseline: %d iters x B=%d in %.3fs -> %.2f clips/sec"
+        % (iters, batch_size, dt, clips_per_sec)
+    )
+    return clips_per_sec
+
+
+BASELINE_FILE = os.path.join(os.path.dirname(__file__), "baseline_torch.json")
+
+
+def main():
+    from lirec_tpu.cli.common import _enable_compilation_cache
+
+    _enable_compilation_cache()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--compute-dtype", default="bfloat16")
+    ap.add_argument("--measure-baseline", action="store_true")
+    args = ap.parse_args()
+
+    if args.measure_baseline or not os.path.exists(BASELINE_FILE):
+        base = measure_torch_baseline()
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(
+                {"torch_cpu_clips_per_sec": base,
+                 "note": "reference-equivalent dense eval compute, CPU"}, f,
+            )
+    with open(BASELINE_FILE) as f:
+        base = json.load(f)["torch_cpu_clips_per_sec"]
+
+    ours = bench_jax(args.batch, args.iters, args.warmup, args.compute_dtype)
+    print(
+        json.dumps(
+            {
+                "metric": "int_rel_ch eval throughput (flagship model fwd+loss)",
+                "value": round(ours, 2),
+                "unit": "clips/sec",
+                "vs_baseline": round(ours / base, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

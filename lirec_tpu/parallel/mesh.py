@@ -1,0 +1,110 @@
+"""Device mesh + sharding layout.
+
+The reference has no distributed layer at all (SURVEY.md §2: no
+torch.distributed/NCCL/MPI anywhere); this module *introduces* one, the
+TPU-native way: a ``('data', 'model')`` mesh, batch/hypothesis axes sharded
+over ``data`` (pure DP), and the MLP stack tensor-parallel over ``model``:
+
+- first-layer kernels column-parallel  ``[in, joint/model]``,
+- second-layer kernels row-parallel    ``[joint/model, out]`` (XLA inserts
+  the psum at the boundary),
+- the gate column-parallel feeding a row-parallel ``out_ints`` head.
+
+The context-clip axis (19) is deliberately left unsharded but contiguous in
+the layout so a future ``context`` axis can shard it (sequence parallelism)
+without a repack.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "param_shardings",
+    "batch_shardings",
+    "table_shardings",
+    "shard_tree",
+]
+
+
+def make_mesh(
+    shape: Optional[Tuple[int, int]] = None,
+    devices=None,
+    axis_names: Tuple[str, str] = ("data", "model"),
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if shape is None:
+        model = 2 if n % 2 == 0 and n > 1 else 1
+        shape = (n // model, model)
+    grid = np.asarray(devices).reshape(shape)
+    return Mesh(grid, axis_names)
+
+
+# parameter name -> (kernel spec, bias spec); first layers column-parallel,
+# second layers row-parallel, heads row-parallel after the sharded gate.
+_COLUMN = (P(None, "model"), P("model"))
+_ROW = (P("model", None), P(None))
+_REPL = (P(None, None), P(None))
+
+_PARAM_PLAN = {
+    # ints / ctx modality MLPs: layer1 column, layer2 row
+    "txt": _COLUMN, "txt2": _ROW,
+    "vis": _COLUMN, "vis2": _ROW,
+    "tracks1": _COLUMN, "tracks12": _ROW,
+    "tracks2": _COLUMN, "tracks22": _ROW,
+    # gate: consumes the (replicated) fused representation, column-parallel
+    "gates_ints": _COLUMN,
+    # heads: out_ints consumes the sharded gate output -> row-parallel;
+    # out_ctx consumes the replicated ctx representation -> replicate (small)
+    "out_ints": _ROW,
+    "out_ctx": _REPL,
+}
+
+
+def _plan_for(name: str, gates: bool):
+    stem = name.split("_")[0] if name not in _PARAM_PLAN else name
+    if name == "out_ints" and not gates:
+        # without the gate the head input is replicated
+        return _REPL
+    return _PARAM_PLAN.get(name) or _PARAM_PLAN.get(stem) or _REPL
+
+
+def param_shardings(params: Dict, mesh: Mesh, gates: bool = True) -> Dict:
+    """NamedSharding tree matching a params pytree."""
+    out: Dict = {}
+    for name, leaf in params.items():
+        kspec, bspec = _plan_for(name, gates)
+        out[name] = {
+            "kernel": NamedSharding(mesh, kspec),
+            "bias": NamedSharding(mesh, bspec),
+        }
+    return out
+
+
+def batch_shardings(batch: Dict, mesh: Mesh) -> Dict:
+    """Shard every per-sample array over the data axis."""
+    return {
+        key: NamedSharding(
+            mesh, P("data", *([None] * (np.ndim(val) - 1)))
+        )
+        for key, val in batch.items()
+    }
+
+
+def table_shardings(tables: Dict, mesh: Mesh) -> Dict:
+    """Feature tables are gathered from with data-local indices ->
+    replicate them (they are small: a few thousand rows)."""
+    return {key: NamedSharding(mesh, P(None, None)) for key in tables}
+
+
+def shard_tree(tree, shardings):
+    """device_put a pytree with a matching sharding tree."""
+    return jax.tree.map(
+        lambda leaf, sh: jax.device_put(leaf, sh), tree, shardings
+    )

@@ -1,0 +1,80 @@
+"""Sharding correctness on the 8-device virtual CPU mesh: the dp x tp
+sharded step must match the single-device step numerically, and parameters
+must actually be distributed."""
+
+import jax
+import numpy as np
+import pytest
+
+from lirec_tpu import config as config_lib
+from lirec_tpu.models.factory import create_model
+from lirec_tpu.parallel.mesh import make_mesh, param_shardings
+from lirec_tpu.parallel.step import make_sharded_train_step
+from lirec_tpu.train.loop import make_train_step
+from lirec_tpu.train.optim import make_optimizer
+from lirec_tpu.utils.fake_batch import make_batch, make_tables
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _bundle():
+    cfg = config_lib.preset("int_rel_ch", data_root="/tmp/x")
+    cfg = cfg.with_dims(text_dim=16, visual_dim=32, joint_dim=16)
+    cfg = cfg.with_runtime(compute_dtype="float32")
+    return cfg, create_model(cfg, 11, n_rels=6)
+
+
+def test_sharded_step_matches_single_device():
+    cfg, bundle = _bundle()
+    tables = make_tables(bundle.spec, n_clips=32, n_tracks=48)
+    batch = make_batch(bundle.spec, batch_size=8, n_clips=32, n_tracks=48)
+    tx = make_optimizer(cfg.optim.lr, cfg.optim.weight_decay)
+    rng = jax.random.PRNGKey(0)
+
+    # single device reference (deterministic=False uses dropout; the PRNG
+    # stream is identical because the sharded path uses the same fold_ins)
+    import jax.numpy as jnp
+
+    jtables = jax.tree.map(jnp.asarray, tables)
+    step = make_train_step(bundle, tx)
+    params0 = bundle.params
+    opt0 = tx.init(params0)
+    p_single, _, loss_single = step(params0, opt0, batch, jtables, rng)
+
+    mesh = make_mesh(shape=(4, 2))
+    state = make_sharded_train_step(bundle, tx, mesh, bundle.params, tables)
+    loss_sharded = state.step(batch, rng)
+
+    np.testing.assert_allclose(
+        float(loss_single), float(loss_sharded), rtol=1e-5, atol=1e-6
+    )
+    flat_single = jax.tree.leaves(p_single)
+    flat_sharded = jax.tree.leaves(jax.device_get(state.params))
+    for a, b in zip(flat_single, flat_sharded):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+        )
+
+
+def test_params_actually_sharded():
+    cfg, bundle = _bundle()
+    mesh = make_mesh(shape=(4, 2))
+    shardings = param_shardings(bundle.params, mesh, gates=True)
+    k = shardings["txt_ints"]["kernel"]
+    assert "model" in str(k.spec), k.spec
+    # commit and confirm device placement spans the model axis
+    committed = jax.device_put(
+        bundle.params["txt_ints"]["kernel"], k
+    )
+    assert len(committed.sharding.device_set) == 8
+    # column-parallel: second dim split over model axis (2)
+    shard_shapes = {s.data.shape for s in committed.addressable_shards}
+    assert shard_shapes == {(16, 8)}, shard_shapes
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as graft
+
+    graft.dryrun_multichip(8)
