@@ -64,12 +64,22 @@ def bench_jax(batch_size: int, iters: int, warmup: int, compute_dtype: str):
         for k in batches[0]
     }
 
-    @jax.jit
-    def sweep(params, stacked, tables, n):
+    from lirec_tpu.models.tabular import embed_all
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("use_pallas",))
+    def sweep(params, stacked, tables, n, use_pallas=False):
+        # table embeddings amortize over the sweep, as in the eval runner
+        embedded = embed_all(params, bundle.spec, tables)
+
         def body(i, carry):
             batch = jax.tree.map(lambda a: a[i % 4], stacked)
             model_batch = {k: batch[k] for k in ("feat_idx", "rels_mask")}
-            out = bundle.apply(params, model_batch, tables=tables)
+            out = bundle.apply(
+                params, model_batch, tables=tables, embedded=embedded,
+                use_pallas=use_pallas,
+            )
             loss = bundle.loss(out, batch, rng=jax.random.PRNGKey(0))
             # fold outputs into the carry so nothing is dead code
             return (
@@ -83,13 +93,19 @@ def bench_jax(batch_size: int, iters: int, warmup: int, compute_dtype: str):
 
     params = jax.device_put(bundle.params)
     log("compiling sweep (%s)..." % jax.default_backend())
+    # Measured on v5e: the pallas gather-pool kernel wins in isolation
+    # (0.37 vs 0.55 ms/call) but LOSES inside the full fused program
+    # (1.37 vs 0.85 ms/step) because the pallas_calls serialize against
+    # XLA's fusion/overlap of the surrounding ops. Kept available for
+    # shapes where tables outgrow what XLA handles well; off by default.
+    use_pallas = False
     t0 = time.time()
-    float(sweep(params, stacked, tables, 2))
+    float(sweep(params, stacked, tables, 2, use_pallas))
     log("compile+first run: %.1fs" % (time.time() - t0))
 
     def timed(n):
         t0 = time.time()
-        float(sweep(params, stacked, tables, n))
+        float(sweep(params, stacked, tables, n, use_pallas))
         return time.time() - t0
 
     per_steps = []

@@ -51,9 +51,19 @@ def evaluate(
 
     model_keys = ("features", "feat_idx", "rels_mask")
 
-    def _step(p, b, tb):
+    # Branch embeddings of the feature tables are computed ONCE per sweep
+    # (models/tabular.embed_all) — params are frozen during eval.
+    embedded = None
+    if tables is not None and not dense:
+        from lirec_tpu.models.tabular import embed_all
+
+        embedded = jax.jit(
+            lambda p, tb: embed_all(p, bundle.spec, tb)
+        )(params, tables)
+
+    def _step(p, b, tb, emb):
         model_batch = {k: b[k] for k in model_keys if k in b}
-        out = bundle.apply(p, model_batch, tables=tb)
+        out = bundle.apply(p, model_batch, tables=tb, embedded=emb)
         # fixed key: only tr_cat_distr-style losses sample, and eval uses a
         # deterministic draw
         return out, bundle.loss(out, b, rng=jax.random.PRNGKey(0))
@@ -63,7 +73,7 @@ def evaluate(
     for batch in it:
         if len(np.atleast_1d(batch["labels"])) == 1:
             continue  # ref test.py:38-39
-        outputs, loss = step_fn(params, batch, tables)
+        outputs, loss = step_fn(params, batch, tables, embedded)
         outputs = {
             k: (np.asarray(v) if v is not None else None)
             for k, v in outputs.items()

@@ -32,12 +32,38 @@ def apply_model(
     tables: Optional[Dict] = None,
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
+    use_tabular: Optional[bool] = None,
+    use_pallas: bool = False,
+    embedded: Optional[Dict] = None,
 ) -> Dict:
     """Dispatch to the configured architecture.
 
     batch carries either dense ``features`` (reference layout) or packed
-    ``feat_idx`` index triples resolved against ``tables``.
+    ``feat_idx`` index triples resolved against ``tables``. At eval with a
+    packed batch, the embed-then-gather fast path (models/tabular.py) is
+    taken automatically (exact; disable with use_tabular=False).
     """
+    if use_tabular is None:
+        use_tabular = deterministic and "feat_idx" in batch
+    if use_tabular and "feat_idx" in batch:
+        from lirec_tpu.models import tabular
+
+        feat_idx = jnp.asarray(batch["feat_idx"])
+        rels_mask = batch.get("rels_mask")
+        if rels_mask is not None:
+            rels_mask = jnp.asarray(rels_mask)
+        if spec.mod_check:
+            return tabular.modalities_tabular(params, spec, tables, feat_idx)
+        if spec.tr_maximize:
+            return tabular.midfusion_maxtracks_tabular(
+                params, spec, tables, feat_idx, rels_mask,
+                use_pallas=use_pallas, embedded=embedded,
+            )
+        return tabular.midfusion_tabular(
+            params, spec, tables, feat_idx, rels_mask,
+            use_pallas=use_pallas, embedded=embedded,
+        )
+
     if "feat_idx" in batch:
         s = slices_from_tables(tables, batch["feat_idx"])
     else:
@@ -130,10 +156,11 @@ def create_model(cfg, n_classes: int, n_rels: int = 0, key=None) -> ModelBundle:
 
     apply = functools.partial(apply_model, spec=spec)
 
-    def apply_fn(params, batch, tables=None, deterministic=True, rng=None):
+    def apply_fn(params, batch, tables=None, deterministic=True, rng=None,
+                 **kw):
         return apply_model(
             params, spec, batch, tables=tables,
-            deterministic=deterministic, rng=rng,
+            deterministic=deterministic, rng=rng, **kw,
         )
 
     return ModelBundle(spec=spec, params=params, apply=apply_fn, loss=loss)

@@ -1,0 +1,251 @@
+"""Embed-then-gather eval forwards (TPU fast path).
+
+At eval (no dropout) the per-modality MLPs are applied ONCE per unique
+feature-table row, and per-(sample, hypothesis, clip) work reduces to
+gathers + masked means + the gate/heads. This is exact — tanh and masked
+mean are elementwise/linear and commute with concatenation — and cuts the
+MLP FLOPs from O(B*20*19) rows to O(n_unique_rows) (ARCHITECTURE.md §2).
+
+Layout note: embeddings are stored per modality ([n, joint] / [n, joint/2])
+and concatenated only after pooling, so gathers move the minimum bytes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from lirec_tpu.models.blocks import gate_apply
+from lirec_tpu.models.layers import DropoutRng, linear
+
+__all__ = [
+    "embed_tables",
+    "midfusion_maxtracks_tabular",
+    "midfusion_tabular",
+    "modalities_tabular",
+]
+
+
+class EmbeddedTables(NamedTuple):
+    txt: jnp.ndarray  # [n_clips, joint]
+    vis: jnp.ndarray  # [n_clips, joint]
+    tr1: jnp.ndarray  # [n_tracks, joint//2]
+    tr2: jnp.ndarray  # [n_tracks, joint//2]
+
+
+def _two_layer(params, n1, n2, x, cdt):
+    h = linear(params[n1], x, cdt)
+    return linear(params[n2], jax.nn.relu(h), cdt)
+
+
+def embed_tables(params: Dict, prefix: str, tables: Dict, spec) -> EmbeddedTables:
+    """Per-modality MLPs over the deduplicated tables (eval: dropout = id)."""
+    cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
+    return EmbeddedTables(
+        txt=_two_layer(params, "txt_%s" % prefix, "txt2_%s" % prefix,
+                       tables["text"], cdt),
+        vis=_two_layer(params, "vis_%s" % prefix, "vis2_%s" % prefix,
+                       tables["visual"], cdt),
+        tr1=_two_layer(params, "tracks1_%s" % prefix, "tracks12_%s" % prefix,
+                       tables["track"], cdt),
+        tr2=_two_layer(params, "tracks2_%s" % prefix, "tracks22_%s" % prefix,
+                       tables["track"], cdt),
+    )
+
+
+def _gather_row(emb: EmbeddedTables, idx: jnp.ndarray) -> jnp.ndarray:
+    """Fused row embedding for index triples idx[..., 3] -> [..., 3*joint]."""
+    return jnp.concatenate(
+        [
+            emb.txt[idx[..., 0]],
+            emb.vis[idx[..., 0]],
+            emb.tr1[idx[..., 1]],
+            emb.tr2[idx[..., 2]],
+        ],
+        axis=-1,
+    )
+
+
+def _pooled_ctx(
+    emb: EmbeddedTables, idx: jnp.ndarray, mask: jnp.ndarray,
+    guard_zero_divide: bool, use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Masked mean over the context axis of gathered embeddings.
+
+    idx: [N, R, 3]; mask: [N, R] -> [N, 3*joint].
+    """
+    m = mask
+    divider = m.sum(axis=-1, keepdims=True)
+    if guard_zero_divide:
+        divider = jnp.where(divider == 0, 1.0, divider)
+    if use_pallas:
+        from lirec_tpu.ops.gather_pool import gather_masked_sum
+
+        parts = [
+            gather_masked_sum(emb.txt, idx[..., 0], m),
+            gather_masked_sum(emb.vis, idx[..., 0], m),
+            gather_masked_sum(emb.tr1, idx[..., 1], m),
+            gather_masked_sum(emb.tr2, idx[..., 2], m),
+        ]
+        pooled = jnp.concatenate(parts, axis=-1)
+    else:
+        w = m[..., None]
+
+        def pool(tab, which):
+            g = tab[idx[..., which]]  # [N, R, d]
+            return (g * w.astype(g.dtype)).sum(axis=-2)
+
+        pooled = jnp.concatenate(
+            [pool(emb.txt, 0), pool(emb.vis, 0), pool(emb.tr1, 1),
+             pool(emb.tr2, 2)],
+            axis=-1,
+        )
+    return pooled / divider.astype(pooled.dtype)
+
+
+def embed_all(params: Dict, spec, tables: Dict) -> Dict[str, EmbeddedTables]:
+    """All branch embeddings of the tables; computed once per eval sweep
+    (params are frozen during eval, so this amortizes across every batch)."""
+    out: Dict[str, EmbeddedTables] = {}
+    if spec.ints and not spec.mod_check:
+        out["ints"] = embed_tables(params, "ints", tables, spec)
+    if spec.ctx:
+        out["ctx"] = embed_tables(params, "ctx", tables, spec)
+    return out
+
+
+def midfusion_maxtracks_tabular(
+    params: Dict,
+    spec,
+    tables: Dict,
+    feat_idx: jnp.ndarray,
+    rels_mask: Optional[jnp.ndarray] = None,
+    use_pallas: bool = False,
+    embedded: Optional[Dict[str, EmbeddedTables]] = None,
+) -> Dict[str, Optional[jnp.ndarray]]:
+    """MidFusionMultiClipMaxTracks eval forward over tables.
+
+    feat_idx: [B, T, 1+R, 3]; rels_mask: [B, T, R].
+    """
+    cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
+    B, T = feat_idx.shape[0], feat_idx.shape[1]
+    drop = DropoutRng(None)
+    output_ints = output_ctx = None
+
+    if spec.ints:
+        emb_i = (
+            embedded["ints"] if embedded else
+            embed_tables(params, "ints", tables, spec)
+        )
+        ints_repr = jnp.tanh(
+            _gather_row(emb_i, feat_idx[:, :, 0, :]).reshape(B * T, -1)
+        )
+        output_ints = ints_repr
+    if spec.ctx:
+        emb_c = (
+            embedded["ctx"] if embedded else
+            embed_tables(params, "ctx", tables, spec)
+        )
+        flat_idx = feat_idx[:, :, 1:, :].reshape(B * T, -1, 3)
+        flat_mask = rels_mask.reshape(B * T, -1).astype(jnp.float32)
+        output_ctx = jnp.tanh(
+            _pooled_ctx(
+                emb_c, flat_idx, flat_mask, guard_zero_divide=True,
+                use_pallas=use_pallas,
+            )
+        )
+    if spec.gates:
+        output_ints = gate_apply(
+            params, output_ints, output_ctx, spec, drop, deterministic=True
+        )
+    rels_out = (
+        linear(params["out_ctx"], output_ctx, cdt).reshape(B, T, spec.n_rels)
+        if spec.ctx
+        else None
+    )
+    ints_out = (
+        linear(params["out_ints"], output_ints, cdt).reshape(
+            B, T, spec.n_classes
+        )
+        if spec.ints
+        else None
+    )
+    return {"inters": ints_out, "rels": rels_out}
+
+
+def midfusion_tabular(
+    params: Dict,
+    spec,
+    tables: Dict,
+    feat_idx: jnp.ndarray,
+    rels_mask: Optional[jnp.ndarray] = None,
+    use_pallas: bool = False,
+    embedded: Optional[Dict[str, EmbeddedTables]] = None,
+) -> Dict[str, Optional[jnp.ndarray]]:
+    """MidFusionMultiClip eval forward over tables.
+
+    feat_idx: [B, 1+R, 3]; rels_mask: [B, R, 1] or [B, R].
+    """
+    cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
+    B = feat_idx.shape[0]
+    drop = DropoutRng(None)
+    output_ints = output_ctx = None
+    if spec.ints:
+        emb_i = (
+            embedded["ints"] if embedded else
+            embed_tables(params, "ints", tables, spec)
+        )
+        output_ints = jnp.tanh(_gather_row(emb_i, feat_idx[:, 0, :]))
+    if spec.ctx:
+        emb_c = (
+            embedded["ctx"] if embedded else
+            embed_tables(params, "ctx", tables, spec)
+        )
+        mask = rels_mask.reshape(B, -1).astype(jnp.float32)
+        output_ctx = jnp.tanh(
+            _pooled_ctx(
+                emb_c, feat_idx[:, 1:, :], mask, guard_zero_divide=False,
+                use_pallas=use_pallas,
+            )
+        )
+    if spec.gates:
+        output_ints = gate_apply(
+            params, output_ints, output_ctx, spec, drop, deterministic=True
+        )
+    rels_out = linear(params["out_ctx"], output_ctx, cdt) if spec.ctx else None
+    ints_out = linear(params["out_ints"], output_ints, cdt) if spec.ints else None
+    return {"inters": ints_out, "rels": rels_out}
+
+
+def modalities_tabular(
+    params: Dict, spec, tables: Dict, feat_idx: jnp.ndarray
+) -> Dict[str, jnp.ndarray]:
+    """Modalities eval forward over tables. feat_idx: [B, 1, 3] or [B, 3]."""
+    cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
+    if feat_idx.ndim == 3:
+        feat_idx = feat_idx[:, 0, :]
+
+    def two(n1, n2, x):
+        return _two_layer(params, n1, n2, x, cdt)
+
+    parts = []
+    if spec.modality in ("m", "t"):
+        txt = two("txt_ints", "txt2_ints", tables["text"])[feat_idx[..., 0]]
+        parts.append(txt)
+    if spec.modality in ("m", "v"):
+        vis = two("vis_ints", "vis2_ints", tables["visual"])[feat_idx[..., 0]]
+        parts.append(vis)
+    if spec.tracks and spec.modality == "m":
+        tr1 = two("tracks1_ints", "tracks12_ints", tables["track"])[
+            feat_idx[..., 1]
+        ]
+        tr2 = two("tracks2_ints", "tracks22_ints", tables["track"])[
+            feat_idx[..., 2]
+        ]
+        parts += [tr1, tr2]
+    out = jnp.tanh(
+        parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+    )
+    return {"inters": linear(params["out_ints"], out, cdt)}
