@@ -32,9 +32,34 @@ def save_params(path: str, params: Dict, extra: Optional[Dict] = None) -> None:
 def load_params(path: str, template: Optional[Dict] = None) -> Dict:
     with open(path, "rb") as f:
         raw = f.read()
+    tree = serialization.msgpack_restore(raw)
+    params = tree["params"]
     if template is not None:
-        return serialization.from_bytes({"params": template}, raw)["params"]
-    return serialization.msgpack_restore(raw)["params"]
+        return serialization.from_state_dict(template, params)
+    return params
+
+
+def save_train_state(path: str, params: Dict, opt_state, epoch: int) -> None:
+    """Weights + optimizer state + epoch, for resume_train
+    (ref mlp/train.py:99-106 checkpoint contents)."""
+    os.makedirs(ops.dirname(ops.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(
+            serialization.to_bytes(
+                {"params": params, "opt_state": opt_state, "epoch": epoch}
+            )
+        )
+
+
+def load_train_state(path: str, params_template: Dict, opt_template):
+    """Restore (params, opt_state, epoch) against templates
+    (ref utils/util_functions.py:274-291)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    tree = serialization.msgpack_restore(raw)
+    params = serialization.from_state_dict(params_template, tree["params"])
+    opt_state = serialization.from_state_dict(opt_template, tree["opt_state"])
+    return params, opt_state, int(tree.get("epoch", 0))
 
 
 class BestNSaver:

@@ -42,6 +42,11 @@ def build_parser(preset_name: str) -> argparse.ArgumentParser:
                         "path for this preset under <data-root>/models_release")
     p.add_argument("--train", action="store_true",
                    help="train instead of evaluating a checkpoint")
+    p.add_argument("--resume-train", action="store_true",
+                   help="load weights+optimizer from --resume-path and "
+                        "continue training (ref resume flag semantics)")
+    p.add_argument("--metrics-log", default="",
+                   help="append JSONL training telemetry to this path")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--text-dim", type=int, default=768)
@@ -79,8 +84,8 @@ def config_from_args(preset_name: str, args) -> config_lib.ExperimentConfig:
         cfg = cfg.with_runtime(compute_dtype=args.compute_dtype)
     if args.resume_path is not None:
         cfg = cfg.replace(resume_path=args.resume_path)
-    if args.train:
-        cfg = cfg.replace(resume=False)
+    if args.train or args.resume_train:
+        cfg = cfg.replace(resume=False, resume_train=args.resume_train)
     return cfg
 
 
@@ -141,9 +146,27 @@ def run_entry(preset_name: str, argv=None) -> dict:
 
     results = {}
     if not cfg.resume:
+        opt_state = None
+        start_epoch = 0
+        if cfg.resume_train and cfg.resume_path:
+            from lirec_tpu.checkpoint import load_train_state
+            from lirec_tpu.train.optim import make_optimizer
+
+            tx = make_optimizer(cfg.optim.lr, cfg.optim.weight_decay)
+            params, opt_state, epoch = load_train_state(
+                cfg.resume_path, params, tx.init(params)
+            )
+            start_epoch = epoch + 1
+            if verbose:
+                print(
+                    "resumed training state from %s (epoch %d)"
+                    % (cfg.resume_path, epoch)
+                )
         out = train_loop(
             cfg, bundle, train_ds, val_dataset=val_ds, test_dataset=test_ds,
-            verbose=verbose,
+            verbose=verbose, params=params, opt_state=opt_state,
+            start_epoch=start_epoch,
+            metrics_log_path=args.metrics_log or None,
         )
         params = out["params"]
         results["train"] = {"losses": out["losses"]}

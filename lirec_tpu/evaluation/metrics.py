@@ -36,6 +36,7 @@ class MetricAccumulator:
         self._top1 = 0
         self._top3 = 0
         self._top5 = 0
+        self._top10 = 0
         self._top1_sf = 0
         self._top5_sf = 0
         self._trks_top1 = 0
@@ -45,6 +46,16 @@ class MetricAccumulator:
         self.total_cl = 0
         self.total_rels = 0
         self.n_rels = n_rels
+        # multilabel P/R counters (ref evaluation.py:279-294)
+        self._tp = 0
+        self._fp_tp = 0
+        self._fn_tp = 0
+        # timing stats (ref evaluation.py:296-303)
+        self._times_tp: list = []
+        self._times_f: list = []
+        # per-(movie, pair) relationship score sums (ref :47,273-277)
+        self.movie_paar = defaultdict(lambda: np.zeros(max(n_rels, 1)))
+        self._rels_global = 0
 
     # -- plain top-k (ref evaluation.py:68-107) -------------------------
 
@@ -237,6 +248,77 @@ class MetricAccumulator:
         # reference bug kept: divides by `total`, not `total_rels`
         # (evaluation.py:359 shadows :353)
         return self._rels_top1 / self.total
+
+    def top10(self) -> float:
+        return self._top10 / self.total
+
+    # -- multilabel thresholded precision/recall (ref :279-294) ----------
+
+    def multiclasses_update(self, pr: np.ndarray, gt: np.ndarray,
+                            thr: float = 0.3) -> None:
+        pr = _sigmoid(np.asarray(pr))
+        gt = np.asarray(gt)
+        pred = (pr >= thr).astype(float)
+        self._tp += int(np.sum(pred[gt == 1] == gt[gt == 1]))
+        self._fp_tp += int(np.sum(pred))
+        self._fn_tp += int(np.sum(gt))
+
+    def precision(self) -> float:
+        return self._tp / self._fp_tp
+
+    def recall(self) -> float:
+        return self._tp / self._fn_tp
+
+    # -- exact-set multilabel top-k (ref :306-318) -----------------------
+
+    def multiclass_max_update(self, pr: np.ndarray, gt: np.ndarray) -> None:
+        pr = np.asarray(pr)
+        gt = np.asarray(gt)
+        for i in range(pr.shape[0]):
+            n_labels = int(gt[i].sum())
+            pred = np.sort(np.argsort(pr[i])[-n_labels:])
+            true = np.sort(np.where(gt[i])[0])
+            self._top1 += int(np.sum(pred == true))
+            self.total += len(true)
+
+    # -- prediction-time stats (ref :296-303) ----------------------------
+
+    def times_update(self, pr_time: np.ndarray, gt_positions: np.ndarray) -> None:
+        pr_time = np.asarray(pr_time)
+        gt_positions = np.asarray(gt_positions)
+        self._times_tp += list(pr_time[gt_positions == 1].ravel())
+        self._times_f += list(pr_time[gt_positions != 1].ravel())
+
+    def time_mean(self):
+        return np.mean(self._times_tp), np.mean(self._times_f)
+
+    def time_var(self):
+        return np.var(self._times_tp), np.var(self._times_f)
+
+    # -- embedding nearest-label (ref :321-327) --------------------------
+
+    @staticmethod
+    def closest_label(output: np.ndarray, embedded_labels: np.ndarray,
+                      ret_dist: bool = False):
+        t2v = np.asarray(output)[:, 0, :]
+        emb = np.asarray(embedded_labels)
+        dists = (
+            -2 * t2v @ emb.T
+            + (emb ** 2).sum(axis=1)
+            + (t2v ** 2).sum(axis=1)[:, None]
+        )
+        order = np.argsort(dists, axis=1)
+        return (order, dists) if ret_dist else order
+
+    # -- per-pair global relationship vote (ref :273-277,362-363) --------
+
+    def movie_rels(self) -> None:
+        for _pair_id, scores in self.movie_paar.items():
+            if int(np.argmax(scores)) == 0:
+                self._rels_global += 1
+
+    def rels_global(self) -> float:
+        return self._rels_global / len(self.movie_paar)
 
 
 class RelationshipsAcc:

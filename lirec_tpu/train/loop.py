@@ -19,10 +19,11 @@ import jax
 import numpy as np
 import optax
 
-from lirec_tpu.checkpoint.saver import BestNSaver, save_params
+from lirec_tpu.checkpoint.saver import BestNSaver, save_train_state
 from lirec_tpu.data.pipeline import BatchIterator
 from lirec_tpu.evaluation.runner import evaluate
 from lirec_tpu.train.optim import make_optimizer
+from lirec_tpu.utils.meters import Averaging, MetricsLogger
 
 __all__ = ["train", "make_train_step"]
 
@@ -67,6 +68,8 @@ def train(
     opt_state=None,
     verbose: bool = True,
     dense: bool = False,
+    metrics_log_path: Optional[str] = None,
+    start_epoch: int = 0,
 ) -> Dict:
     """Run the epoch loop; returns {'params', 'opt_state', 'saver',
     'final_path'} (control flow: ref mlp/train.py:41-107)."""
@@ -88,29 +91,56 @@ def train(
     base_rng = jax.random.PRNGKey(o.seed)
 
     tr_sum_max_flag = t.tr_sum_max_flag
+    metrics_log = MetricsLogger(metrics_log_path)
+
     def log(msg):
         if verbose:
             print(msg)
 
     losses = []
-    for epoch in range(o.epochs):
-        if t.tr_sum_max and epoch == 20:
+    for epoch in range(start_epoch, o.epochs):
+        if t.tr_sum_max and epoch >= 20:
             tr_sum_max_flag = True  # curriculum flip (ref :49-51)
         epoch_losses = []
+        # batch/data-time telemetry (ref mlp/train.py:29-31,53-73)
+        batch_time, data_time, loss_meter = Averaging(), Averaging(), Averaging()
         start = time.time()
+        end = time.time()
         for i, batch in enumerate(iterator):
-            if len(np.atleast_1d(batch["labels"])) == 1:
+            data_time.update(time.time() - end)
+            n = len(np.atleast_1d(batch["labels"]))
+            if n == 1:
                 continue  # ref :55-56
             rng = jax.random.fold_in(base_rng, epoch * 100003 + i)
             params, opt_state, loss = step(
                 params, opt_state, batch, tables, rng,
                 tr_sum_max_flag=tr_sum_max_flag,
             )
-            epoch_losses.append(float(loss))
+            loss = float(loss)
+            epoch_losses.append(loss)
+            loss_meter.update(loss, n)
+            batch_time.update(time.time() - end)
+            end = time.time()
+            if i % 10 == 0 and i and verbose:
+                log(
+                    "Epoch: [%d][%d/%d]\tTime %.3f (%.3f)\tData %.3f (%.3f)"
+                    "\tLoss %.4f (%.4f)"
+                    % (epoch, i, len(iterator), batch_time.val,
+                       batch_time.avg, data_time.val, data_time.avg,
+                       loss_meter.val, loss_meter.avg)
+                )
         losses.append(float(np.mean(epoch_losses)) if epoch_losses else 0.0)
         log(
             "epoch %d loss: %f (%.2fs)"
             % (epoch, losses[-1], time.time() - start)
+        )
+        metrics_log.log(
+            {
+                "epoch": epoch,
+                "loss": losses[-1],
+                "batch_time_avg": batch_time.avg,
+                "data_time_avg": data_time.avg,
+            }
         )
 
         if epoch % o.test_fr == 0 and val_dataset is not None:
@@ -140,7 +170,9 @@ def train(
     final_path = ""
     if o.save_model and cfg.paths.store_root:
         final_path = ops.join(cfg.paths.store_root, "%d.ckpt" % (o.epochs - 1))
-        save_params(final_path, params, extra={"epoch": o.epochs - 1})
+        # weights + optimizer state, so training can resume
+        # (ref mlp/train.py:99-106)
+        save_train_state(final_path, params, opt_state, o.epochs - 1)
         saver.save()
     return {
         "params": params,
