@@ -169,6 +169,10 @@ class ClipGraph:
         attrs = self.G.node.get(nid)
         return attrs.get("type") if attrs else None
 
+    def node_name(self, nid: int) -> Optional[str]:
+        attrs = self.G.node.get(nid)
+        return attrs.get("name") if attrs else None
+
     def get_node_ids_of_type(self, ntypes) -> List[int]:
         """Node ids whose type is `in` ntypes.
 
@@ -178,6 +182,101 @@ class ClipGraph:
         substring (ref GraphClasses.py:215-218, util_functions.py:455,507).
         """
         return [nid for nid in self.G.node if self.node_type(nid) in ntypes]
+
+    # -- analysis/query API (ref GraphClasses.py:209-360) ------------------
+
+    def get_nodes_of_type(self, ntype: str) -> List[str]:
+        """Names of all nodes of exactly this type (ref :209-213)."""
+        return [
+            attrs["name"]
+            for attrs in self.G.node.values()
+            if attrs.get("type") == ntype
+        ]
+
+    def get_node_type_dict(self, ntypes=None):
+        """type -> list of node names (ref :220-232)."""
+        from collections import defaultdict
+
+        if not ntypes:
+            ntypes = {attrs.get("type") for attrs in self.G.node.values()}
+        out = defaultdict(list)
+        for ntype in ntypes:
+            out[ntype] = self.get_nodes_of_type(ntype)
+        return out
+
+    def get_neighbors(
+        self, nid: int, ntypes=None, return_names: bool = False,
+        return_ntypes: bool = False,
+    ):
+        """Successors, optionally filtered by type / decorated with
+        names/types (ref :234-255)."""
+        ids = self.G.neighbors(nid)
+        if ntypes:
+            ids = [n for n in ids if self.node_type(n) in ntypes]
+        if return_names and return_ntypes:
+            return [(n, self.node_name(n), self.node_type(n)) for n in ids]
+        if return_names:
+            return [(n, self.node_name(n)) for n in ids]
+        if return_ntypes:
+            return [(n, self.node_type(n)) for n in ids]
+        return ids
+
+    def get_characters(self, only_entities: bool = False) -> List[str]:
+        """Entity names in the clip (ref :308-334, simplified to the
+        entity-node surface)."""
+        del only_entities
+        return self.get_nodes_of_type("entity")
+
+    def find_all_triplets(
+        self, int_or_rel: str = "relationship",
+        collapse_bidirectional: bool = False, return_names: bool = False,
+    ):
+        """(entity, interaction/relationship, entity) directed triplets
+        (ref :336-360)."""
+        triplets = []
+        entity_ids = set(self.get_node_ids_of_type("entity"))
+        for mid in self.get_node_ids_of_type(int_or_rel):
+            sources = [
+                n for n in self.G.predecessors(mid) if n in entity_ids
+            ]
+            targets = [
+                n for n in self.G.neighbors(mid) if n in entity_ids
+            ]
+            for s in sources:
+                for t in targets:
+                    if s == t:
+                        continue
+                    if collapse_bidirectional and (t, mid, s) in triplets:
+                        continue
+                    triplets.append((s, mid, t))
+        if return_names:
+            return [
+                (self.node_name(s), self.node_name(m), self.node_name(t))
+                for s, m, t in triplets
+            ]
+        return triplets
+
+    def check_graph_contains_attribute(self, ch_node: int, subtype: str,
+                                       val=None) -> bool:
+        """Does this character have an attribute of the given subtype
+        (optionally with a given value)? (ref :362-377)"""
+        for n in self.get_neighbors(ch_node, ntypes=["attribute"]):
+            attrs = self.G.node[n]
+            if attrs.get("subtype") == subtype and (
+                val is None or attrs.get("name") == val
+            ):
+                return True
+        return False
+
+    def check_graph_contains_relationship(self, ch_node_pair, val=None) -> bool:
+        """Directed relationship between a character pair (ref :379-393)."""
+        a, b = ch_node_pair
+        for s, mid, t in self.find_all_triplets("relationship"):
+            if (s, t) == (a, b) and (
+                val is None or self.node_name(mid) == val
+            ):
+                return True
+        return False
 
 
 class MovieGraph:
@@ -189,6 +288,24 @@ class MovieGraph:
 
     def add_clip_graph(self, idx: int, clip: ClipGraph) -> None:
         self.clip_graphs[idx] = clip
+
+    def count_occurrences(self):
+        """node type -> name -> count across all clips
+        (ref GraphClasses.py:870+)."""
+        from collections import Counter, defaultdict
+
+        counts = defaultdict(Counter)
+        for clip in self.clip_graphs.values():
+            for attrs in clip.G.node.values():
+                counts[attrs.get("type")][attrs.get("name")] += 1
+        return {k: dict(v) for k, v in counts.items()}
+
+    def characters(self):
+        """All entity names seen across the movie."""
+        names = set()
+        for clip in self.clip_graphs.values():
+            names.update(clip.get_characters())
+        return sorted(names)
 
 
 def _movie_from_json(imdb_key: str, clips_json: list) -> MovieGraph:

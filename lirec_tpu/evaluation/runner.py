@@ -16,7 +16,71 @@ import numpy as np
 from lirec_tpu.data.pipeline import BatchIterator
 from lirec_tpu.evaluation.metrics import MetricAccumulator, RelationshipsAcc
 
-__all__ = ["evaluate"]
+__all__ = ["evaluate", "evaluate_rels_only"]
+
+
+def evaluate_rels_only(
+    dataset, bundle, params, cfg, verbose: bool = True
+) -> Dict[str, float]:
+    """Relationship-only eval over (pair, rel) hashes with ALL their clips
+    (ref `test_rels_multi_clip` mode, classification_dataloader.py:293-303).
+
+    The reference's DataLoader cannot actually batch this mode (items have
+    variable clip counts); here items are padded to shape buckets (padded
+    rows are table index 0 = zeros with mask 0, invisible to the masked
+    mean) and batched.
+    """
+    import jax.numpy as jnp
+
+    from lirec_tpu.evaluation.metrics import RelationshipsAcc
+
+    was = dataset.test_rels_multi_clip
+    dataset.test_rels_multi_clip = True
+    try:
+        tb = dataset.tables
+        tables = {
+            "text": jnp.asarray(tb.text),
+            "visual": jnp.asarray(tb.visual),
+            "track": jnp.asarray(tb.track),
+        }
+        acc = RelationshipsAcc(n_rels=dataset.n_rels)
+        # bucket items by padded clip count to bound recompiles
+        items = [dataset[i] for i in range(len(dataset))]
+        buckets: Dict[int, list] = {}
+        for i, item in enumerate(items):
+            L = item["feat_idx"].shape[0] - 1
+            padded = 1 << max(1, (L - 1)).bit_length()  # next pow2 >= L
+            buckets.setdefault(padded, []).append(i)
+
+        @jax.jit
+        def step(p, feat_idx, rels_mask, tbls):
+            out = bundle.apply(
+                p, {"feat_idx": feat_idx, "rels_mask": rels_mask},
+                tables=tbls, deterministic=True,
+            )
+            return out["rels"]
+
+        for padded, idxs in sorted(buckets.items()):
+            feat = np.zeros((len(idxs), padded + 1, 3), np.int32)
+            mask = np.zeros((len(idxs), padded, 1), np.int32)
+            labels = np.zeros(len(idxs), int)
+            hashes = np.zeros(len(idxs), int)
+            for row, i in enumerate(idxs):
+                item = items[i]
+                L = item["feat_idx"].shape[0] - 1
+                feat[row, : L + 1] = item["feat_idx"]
+                mask[row, :L, 0] = item["rels_mask"][:, 0]
+                labels[row] = item["rels_label"]
+                hashes[row] = i
+            rels = np.asarray(step(params, feat, mask, tables))
+            acc.update(rels, labels, hashes)
+        out = {"rels_top1": acc.top1(), "rels_top3": acc.top3()}
+        if verbose:
+            print("RELS-ONLY rels@top1: %f" % out["rels_top1"])
+            print("RELS-ONLY rels@top3: %f" % out["rels_top3"])
+        return out
+    finally:
+        dataset.test_rels_multi_clip = was
 
 
 def evaluate(

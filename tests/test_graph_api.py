@@ -1,0 +1,63 @@
+"""MovieGraphs query API + relationship-only eval mode."""
+
+import numpy as np
+import pytest
+
+from lirec_tpu import config as config_lib
+from lirec_tpu.data import graphs, synthetic
+from lirec_tpu.data.dataset import InteractionDataset, first_choice
+
+
+def _clip(synth_cfg):
+    movies = graphs.load_graphs(synth_cfg.paths.annotations)
+    return next(iter(movies["tt0108160"].clip_graphs.values())), movies
+
+
+def test_query_api(synth_cfg):
+    clip, movies = _clip(synth_cfg)
+    names = clip.get_nodes_of_type("entity")
+    assert names and all(isinstance(n, str) for n in names)
+    tdict = clip.get_node_type_dict()
+    assert set(tdict) >= {"entity", "interaction", "time"}
+    inter_id = clip.get_node_ids_of_type("interaction")[0]
+    neigh = clip.get_neighbors(inter_id, ntypes=["time"])
+    assert len(neigh) == 1
+    decorated = clip.get_neighbors(inter_id, return_names=True,
+                                   return_ntypes=True)
+    assert all(len(x) == 3 for x in decorated)
+    assert clip.get_characters() == names
+
+    trips = clip.find_all_triplets("interaction", return_names=True)
+    assert trips and all(len(t) == 3 for t in trips)
+    rel_trips = clip.find_all_triplets("relationship")
+    if rel_trips:
+        s, mid, t = rel_trips[0]
+        assert clip.check_graph_contains_relationship((s, t))
+        assert clip.check_graph_contains_relationship(
+            (s, t), val=clip.node_name(mid)
+        )
+        assert not clip.check_graph_contains_relationship((999, 998))
+
+    movie = movies["tt0108160"]
+    counts = movie.count_occurrences()
+    assert counts["entity"]
+    assert movie.characters()
+
+
+def test_rels_only_eval(synth_root):
+    from lirec_tpu.evaluation.runner import evaluate_rels_only
+    from lirec_tpu.models.factory import create_model
+
+    base = synthetic.make_config(synth_root)
+    cfg = (
+        config_lib.preset("int_rels", data_root=synth_root)
+        .replace(dims=base.dims, paths=base.paths)
+        .with_runtime(compute_dtype="float32")
+    )
+    ds = InteractionDataset(cfg, mode="val", label_chooser=first_choice)
+    ds.cache()
+    ds.init_relships()
+    bundle = create_model(cfg, ds.n_classes, n_rels=ds.n_rels - 1)
+    out = evaluate_rels_only(ds, bundle, bundle.params, cfg, verbose=False)
+    assert 0 <= out["rels_top1"] <= out["rels_top3"] <= 1
+    assert ds.test_rels_multi_clip is False  # restored
