@@ -47,6 +47,10 @@ def build_parser(preset_name: str) -> argparse.ArgumentParser:
                         "continue training (ref resume flag semantics)")
     p.add_argument("--metrics-log", default="",
                    help="append JSONL training telemetry to this path")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="save a resumable latest.ckpt every N epochs")
+    p.add_argument("--auto-resume", action="store_true",
+                   help="continue from <store-root>/latest.ckpt if present")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--text-dim", type=int, default=768)
@@ -148,25 +152,33 @@ def run_entry(preset_name: str, argv=None) -> dict:
     if not cfg.resume:
         opt_state = None
         start_epoch = 0
+        resume_from = ""
         if cfg.resume_train and cfg.resume_path:
+            resume_from = cfg.resume_path
+        elif args.auto_resume:
+            latest = os.path.join(cfg.paths.store_root, "latest.ckpt")
+            if os.path.exists(latest):
+                resume_from = latest
+        if resume_from:
             from lirec_tpu.checkpoint import load_train_state
             from lirec_tpu.train.optim import make_optimizer
 
             tx = make_optimizer(cfg.optim.lr, cfg.optim.weight_decay)
             params, opt_state, epoch = load_train_state(
-                cfg.resume_path, params, tx.init(params)
+                resume_from, params, tx.init(params)
             )
             start_epoch = epoch + 1
             if verbose:
                 print(
                     "resumed training state from %s (epoch %d)"
-                    % (cfg.resume_path, epoch)
+                    % (resume_from, epoch)
                 )
         out = train_loop(
             cfg, bundle, train_ds, val_dataset=val_ds, test_dataset=test_ds,
             verbose=verbose, params=params, opt_state=opt_state,
             start_epoch=start_epoch,
             metrics_log_path=args.metrics_log or None,
+            checkpoint_every=args.checkpoint_every,
         )
         params = out["params"]
         results["train"] = {"losses": out["losses"]}

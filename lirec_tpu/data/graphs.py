@@ -21,7 +21,7 @@ from __future__ import annotations
 import json
 import os
 import warnings
-from collections import OrderedDict
+from collections import OrderedDict, defaultdict
 from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Union
 
 __all__ = ["Digraph", "ClipGraph", "MovieGraph", "load_graphs", "iter_movies"]
@@ -278,6 +278,36 @@ class ClipGraph:
                 return True
         return False
 
+    def find_all_entity_attribute_pairs(self, subtypes=(), return_names=False):
+        """(entity, attribute) node pairs, optionally filtered by attribute
+        subtype (ref GraphClasses.py:288-306)."""
+        pairs = []
+        for eid in self.get_node_ids_of_type("entity"):
+            for aid in set(self.G.neighbors(eid)) | set(
+                self.G.predecessors(eid)
+            ):
+                attrs = self.G.node[aid]
+                if attrs.get("type") != "attribute":
+                    continue
+                if subtypes and attrs.get("subtype") not in subtypes:
+                    continue
+                pairs.append((eid, aid))
+        if return_names:
+            return [
+                (self.node_name(e), self.G.node[a].get("subtype"),
+                 self.node_name(a))
+                for e, a in pairs
+            ]
+        return pairs
+
+    def new_nodeid(self) -> int:
+        """Smallest unused non-negative node id (ref :395-399)."""
+        used = set(self.G.node)
+        nid = 0
+        while nid in used:
+            nid += 1
+        return nid
+
 
 class MovieGraph:
     """All clip graphs of one movie (ref GraphClasses.py:588-614)."""
@@ -306,6 +336,120 @@ class MovieGraph:
         for clip in self.clip_graphs.values():
             names.update(clip.get_characters())
         return sorted(names)
+
+    # -- annotation preprocessing (ref GraphClasses.py:615-855) ------------
+
+    def cleanup_empty(self, scenes_gt: Optional[dict] = None,
+                      verbose: bool = False) -> int:
+        """Drop empty clip graphs and (given a scenes_gt usability map)
+        mostly-empty N/A-marked ones (ref :615-638). Returns #dropped."""
+        before = len(self.clip_graphs)
+        for sid in list(self.clip_graphs):
+            cg = self.clip_graphs[sid]
+            if not cg.situation and len(cg.G) == 0:
+                del self.clip_graphs[sid]
+        if scenes_gt:
+            for sid, info in scenes_gt.items():
+                if info.get("use") or sid not in self.clip_graphs:
+                    continue
+                cg = self.clip_graphs[sid]
+                if len(cg.G) < 3 or not cg.situation:
+                    del self.clip_graphs[sid]
+        dropped = before - len(self.clip_graphs)
+        if verbose:
+            print("cleanup: %d -> %d clip graphs" % (before, len(self.clip_graphs)))
+        return dropped
+
+    def merge_clips(self, mergers, sid_clip, verbose: bool = False) -> dict:
+        """Merge annotation groups spanning several scene ids: labels go to
+        the largest graph, video info covers all member clips (ref :640-694)."""
+        stats = {"zero": 0, "one": 0, "more": 0}
+        for group in mergers:
+            present = [s for s in group if s in self.clip_graphs]
+            if not present:
+                stats["zero"] += 1
+                continue
+            fnames = [sid_clip[s] for s in group if s in sid_clip]
+            if len(present) == 1:
+                stats["one"] += 1
+                self.clip_graphs[present[0]]._set_video(fnames)
+                continue
+            stats["more"] += 1
+            keep = max(present, key=lambda s: len(self.clip_graphs[s].G))
+            situations, scenes, descriptions = [], [], []
+            for s in present:
+                cg = self.clip_graphs[s]
+                situations.append(cg.situation)
+                scenes.append(cg.scene_label)
+                descriptions.append(cg.description)
+                if s != keep:
+                    del self.clip_graphs[s]
+            kept = self.clip_graphs[keep]
+            kept.situation = "; ".join(sorted(set(situations)))
+            kept.scene_label = "; ".join(sorted(set(scenes)))
+            kept.description = " ".join(descriptions)
+            kept._set_video(fnames)
+        if verbose:
+            print("mergers:", stats)
+        return stats
+
+    STATIC_ATTRIBUTE_SUBTYPES = ("age", "gen", "eth", "pro")
+
+    def mine_static_info(self) -> dict:
+        """Per-scene static attribute/relationship observations, keyed by
+        character name (ref :706-767)."""
+        info = {"att": defaultdict(list), "rel": defaultdict(list)}
+        for sid, cg in self.clip_graphs.items():
+            for name, subtype, value in cg.find_all_entity_attribute_pairs(
+                subtypes=self.STATIC_ATTRIBUTE_SUBTYPES, return_names=True
+            ):
+                info["att"][name].append((sid, subtype, value))
+            for s, mid, t in cg.find_all_triplets("relationship"):
+                info["rel"][(cg.node_name(s), cg.node_name(t))].append(
+                    (sid, cg.node_name(mid))
+                )
+        self.static_info = {k: dict(v) for k, v in info.items()}
+        return self.static_info
+
+    def propagate_static_labels(self, verbose: bool = False) -> int:
+        """Attach each character's majority static attribute (per subtype) to
+        every clip they appear in without one (ref :769-855, simplified to
+        name identity). Returns #attribute nodes added."""
+        from collections import Counter
+
+        info = getattr(self, "static_info", None) or self.mine_static_info()
+        majority: Dict[tuple, str] = {}
+        for name, observations in info["att"].items():
+            by_subtype: Dict[str, Counter] = defaultdict(Counter)
+            for _sid, subtype, value in observations:
+                by_subtype[subtype][value] += 1
+            for subtype, counter in by_subtype.items():
+                majority[(name, subtype)] = counter.most_common(1)[0][0]
+        added = 0
+        for sid, cg in self.clip_graphs.items():
+            for eid in cg.get_node_ids_of_type("entity"):
+                name = cg.node_name(eid)
+                have = {
+                    subtype
+                    for _e, subtype, _v in cg.find_all_entity_attribute_pairs(
+                        subtypes=self.STATIC_ATTRIBUTE_SUBTYPES,
+                        return_names=True,
+                    )
+                    if _e == name
+                }
+                for (mname, subtype), value in majority.items():
+                    if mname != name or subtype in have:
+                        continue
+                    nid = cg.new_nodeid()
+                    cg.G.add_node(
+                        nid, name=value, subtype=subtype, type="attribute",
+                        origtext="%s:%s" % (subtype, value), pos=(0, 0),
+                    )
+                    cg.G.add_edge(eid, nid)
+                    added += 1
+        if verbose:
+            print("propagated %d static attribute nodes" % added)
+        return added
 
 
 def _movie_from_json(imdb_key: str, clips_json: list) -> MovieGraph:

@@ -70,6 +70,7 @@ def train(
     dense: bool = False,
     metrics_log_path: Optional[str] = None,
     start_epoch: int = 0,
+    checkpoint_every: int = 0,
 ) -> Dict:
     """Run the epoch loop; returns {'params', 'opt_state', 'saver',
     'final_path'} (control flow: ref mlp/train.py:41-107)."""
@@ -166,6 +167,17 @@ def train(
                     )
         if o.save_model and o.save_model_often and epoch % 30 == 0:
             saver.save()
+        if (
+            checkpoint_every
+            and cfg.paths.store_root
+            and (epoch + 1) % checkpoint_every == 0
+        ):
+            # crash-resilience checkpoint (the reference has no failure
+            # recovery, SURVEY.md §5.3); pick up with auto-resume
+            save_train_state(
+                ops.join(cfg.paths.store_root, "latest.ckpt"),
+                params, opt_state, epoch,
+            )
 
     final_path = ""
     if o.save_model and cfg.paths.store_root:

@@ -61,3 +61,46 @@ def test_rels_only_eval(synth_root):
     out = evaluate_rels_only(ds, bundle, bundle.params, cfg, verbose=False)
     assert 0 <= out["rels_top1"] <= out["rels_top3"] <= 1
     assert ds.test_rels_multi_clip is False  # restored
+
+
+def test_annotation_preprocessing(synth_cfg):
+    clip, movies = _clip(synth_cfg)
+    movie = movies["tt0108160"]
+
+    # static mining + propagation: inject one 'age' attribute for a
+    # character in one clip, then propagate to the others
+    eid = clip.get_node_ids_of_type("entity")[0]
+    name = clip.node_name(eid)
+    nid = clip.new_nodeid()
+    clip.G.add_node(nid, name="30", subtype="age", type="attribute",
+                    origtext="age:30", pos=(0, 0))
+    clip.G.add_edge(eid, nid)
+    info = movie.mine_static_info()
+    assert (name in info["att"]) and info["att"][name][0][1:] == ("age", "30")
+    added = movie.propagate_static_labels()
+    assert added >= 1
+    for other in movie.clip_graphs.values():
+        if name in other.get_characters():
+            eids = [e for e in other.get_node_ids_of_type("entity")
+                    if other.node_name(e) == name]
+            assert other.check_graph_contains_attribute(eids[0], "age", "30")
+
+    # merge groups: labels fold into the largest graph
+    sids = list(movie.clip_graphs)
+    assert len(sids) >= 2
+    sid_clip = {
+        s: "videos/tt0108160/" + movie.clip_graphs[s].video["fname"][0]
+        for s in sids[:2]
+    }
+    before = len(movie.clip_graphs)
+    stats = movie.merge_clips([tuple(sids[:2])], sid_clip)
+    assert stats["more"] == 1
+    assert len(movie.clip_graphs) == before - 1
+
+    # cleanup: an empty clip graph gets dropped
+    import copy
+    empty = copy.deepcopy(next(iter(movie.clip_graphs.values())))
+    empty.situation = ""
+    empty.G = type(empty.G)()
+    movie.clip_graphs[999] = empty
+    assert movie.cleanup_empty() == 1
