@@ -93,11 +93,15 @@ def bench_jax(batch_size: int, iters: int, warmup: int, compute_dtype: str):
 
     params = jax.device_put(bundle.params)
     log("compiling sweep (%s)..." % jax.default_backend())
-    # Measured on v5e: the pallas gather-pool kernel wins in isolation
-    # (0.37 vs 0.55 ms/call) but LOSES inside the full fused program
-    # (1.37 vs 0.85 ms/step) because the pallas_calls serialize against
-    # XLA's fusion/overlap of the surrounding ops. Kept available for
-    # shapes where tables outgrow what XLA handles well; off by default.
+    # Measured on v5e (B=64, ablation via this same slope method):
+    # - pallas gather-pool wins in isolation (0.37 vs 0.55 ms/call) but
+    #   LOSES inside the full fused program (1.37 vs 0.85 ms/step): the
+    #   pallas_calls serialize against XLA's fusion/overlap. Off by default.
+    # - bf16 feature tables are also slower (0.92 vs 0.85 ms/step): gather
+    #   of 16-bit rows packs lanes worse than the halved bytes save.
+    # - the loss costs ~0.06 ms of the step (fwd-only 0.79 ms).
+    # - the training step (gather-then-embed, per-use dropout, fwd+bwd+Adam)
+    #   is ~11.6 ms/step -> ~5.5k clips/sec.
     use_pallas = False
     t0 = time.time()
     float(sweep(params, stacked, tables, 2, use_pallas))

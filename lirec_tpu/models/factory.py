@@ -35,6 +35,7 @@ def apply_model(
     use_tabular: Optional[bool] = None,
     use_pallas: bool = False,
     embedded: Optional[Dict] = None,
+    context_axis: Optional[str] = None,
 ) -> Dict:
     """Dispatch to the configured architecture.
 
@@ -58,10 +59,12 @@ def apply_model(
             return tabular.midfusion_maxtracks_tabular(
                 params, spec, tables, feat_idx, rels_mask,
                 use_pallas=use_pallas, embedded=embedded,
+                context_axis=context_axis,
             )
         return tabular.midfusion_tabular(
             params, spec, tables, feat_idx, rels_mask,
             use_pallas=use_pallas, embedded=embedded,
+            context_axis=context_axis,
         )
 
     if "feat_idx" in batch:

@@ -68,9 +68,26 @@ def _gather_row(emb: EmbeddedTables, idx: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _constrain_context(x: jnp.ndarray, context_axis: Optional[str]):
+    """Shard the gathered [N, R, d] intermediate over the context-clip axis
+    (sequence parallelism): XLA partitions the masked-sum reduction over the
+    mesh axis and inserts the psum. No-op outside a matching mesh."""
+    if not context_axis:
+        return x
+    try:
+        from jax.sharding import PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(
+            x, P(None, context_axis, None)
+        )
+    except Exception:
+        return x
+
+
 def _pooled_ctx(
     emb: EmbeddedTables, idx: jnp.ndarray, mask: jnp.ndarray,
     guard_zero_divide: bool, use_pallas: bool = False,
+    context_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Masked mean over the context axis of gathered embeddings.
 
@@ -95,6 +112,7 @@ def _pooled_ctx(
 
         def pool(tab, which):
             g = tab[idx[..., which]]  # [N, R, d]
+            g = _constrain_context(g, context_axis)
             return (g * w.astype(g.dtype)).sum(axis=-2)
 
         pooled = jnp.concatenate(
@@ -124,6 +142,7 @@ def midfusion_maxtracks_tabular(
     rels_mask: Optional[jnp.ndarray] = None,
     use_pallas: bool = False,
     embedded: Optional[Dict[str, EmbeddedTables]] = None,
+    context_axis: Optional[str] = None,
 ) -> Dict[str, Optional[jnp.ndarray]]:
     """MidFusionMultiClipMaxTracks eval forward over tables.
 
@@ -153,7 +172,7 @@ def midfusion_maxtracks_tabular(
         output_ctx = jnp.tanh(
             _pooled_ctx(
                 emb_c, flat_idx, flat_mask, guard_zero_divide=True,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, context_axis=context_axis,
             )
         )
     if spec.gates:
@@ -183,6 +202,7 @@ def midfusion_tabular(
     rels_mask: Optional[jnp.ndarray] = None,
     use_pallas: bool = False,
     embedded: Optional[Dict[str, EmbeddedTables]] = None,
+    context_axis: Optional[str] = None,
 ) -> Dict[str, Optional[jnp.ndarray]]:
     """MidFusionMultiClip eval forward over tables.
 
@@ -207,7 +227,7 @@ def midfusion_tabular(
         output_ctx = jnp.tanh(
             _pooled_ctx(
                 emb_c, feat_idx[:, 1:, :], mask, guard_zero_divide=False,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, context_axis=context_axis,
             )
         )
     if spec.gates:

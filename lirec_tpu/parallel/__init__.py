@@ -1,4 +1,5 @@
 from lirec_tpu.parallel.mesh import (  # noqa: F401
+    initialize_distributed,
     make_mesh,
     batch_shardings,
     param_shardings,

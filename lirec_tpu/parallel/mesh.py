@@ -32,6 +32,26 @@ __all__ = [
 ]
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up (DCN): call once per host before building the
+    mesh. No-op in single-process runs. With multiple hosts, the data axis
+    should span hosts (pure DP over DCN) and the model axis stay within a
+    host's ICI domain — `make_mesh` lays devices out in that order."""
+    import jax
+
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(
     shape: Optional[Tuple[int, int]] = None,
     devices=None,

@@ -78,3 +78,42 @@ def test_dryrun_multichip():
     import __graft_entry__ as graft
 
     graft.dryrun_multichip(8)
+
+
+def test_sequence_parallel_eval_matches():
+    """dp x sp (context-axis) sharded eval == unsharded values."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    cfg, bundle = _bundle()
+    tables = {
+        k: jnp.asarray(v)
+        for k, v in make_tables(bundle.spec, 32, 48, seed=9).items()
+    }
+    batch = make_batch(bundle.spec, 8, 32, 48, seed=10)
+    mb = {k: batch[k] for k in ("feat_idx", "rels_mask")}
+    plain = bundle.apply(bundle.params, mb, tables=tables)
+
+    devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    sp_mesh = Mesh(devices, ("data", "context"))
+    with jax.set_mesh(sp_mesh):
+        feat_idx = jax.device_put(
+            batch["feat_idx"], NamedSharding(sp_mesh, P("data"))
+        )
+        rels_mask = jax.device_put(
+            batch["rels_mask"], NamedSharding(sp_mesh, P("data"))
+        )
+        sharded = jax.jit(
+            lambda p, f, m, t: bundle.apply(
+                p, {"feat_idx": f, "rels_mask": m}, tables=t,
+                context_axis="context",
+            )
+        )(bundle.params, feat_idx, rels_mask, tables)
+    np.testing.assert_allclose(
+        np.asarray(plain["inters"]), np.asarray(sharded["inters"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(plain["rels"]), np.asarray(sharded["rels"]),
+        rtol=1e-5, atol=1e-6,
+    )
