@@ -13,7 +13,31 @@ from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 
-__all__ = ["collate", "BatchIterator"]
+__all__ = ["collate", "BatchIterator", "prefetch_to_device"]
+
+
+def prefetch_to_device(iterator, size: int = 2):
+    """Stage host batches onto the device `size` steps ahead, overlapping
+    H2D transfer with compute (the packed batches are tiny — int32 index
+    tensors — so this is latency hiding, not bandwidth)."""
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+    it = iter(iterator)
+    try:
+        while len(queue) < size:
+            queue.append(jax.device_put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        batch = queue.popleft()
+        try:
+            queue.append(jax.device_put(next(it)))
+        except StopIteration:
+            pass
+        yield batch
 
 
 def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:

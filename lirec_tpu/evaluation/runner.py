@@ -94,6 +94,7 @@ def evaluate(
     dense: bool = False,
     verbose: bool = True,
     jit_apply=None,
+    return_details: bool = False,
 ) -> Dict[str, float]:
     """Run one evaluation pass; returns the ModelSaver metric dict
     {'total', 'ints'[, 'rels'][, 'tracks', 'joint']} (ref test.py:138-145)."""
@@ -134,10 +135,17 @@ def evaluate(
 
     step_fn = jit_apply or jax.jit(_step)
 
+    # Phase 1: dispatch every batch (async); phase 2: host metric updates.
+    # This overlaps device compute with host work and avoids a device->host
+    # sync per batch (expensive on remote/tunnelled TPUs).
+    pending = []
     for batch in it:
         if len(np.atleast_1d(batch["labels"])) == 1:
             continue  # ref test.py:38-39
         outputs, loss = step_fn(params, batch, tables, embedded)
+        pending.append((batch, outputs, loss))
+
+    for batch, outputs, loss in pending:
         outputs = {
             k: (np.asarray(v) if v is not None else None)
             for k, v in outputs.items()
@@ -236,6 +244,11 @@ def evaluate(
         log("%s rel+int: %f" % (mode.upper(), out_val))
 
     out = {"total": out_val, "ints": out_ints, "loss": avg_loss}
+    if return_details:
+        out["conf_mat"] = conf_mat
+        out["accumulator"] = prec
+        if prec_rels is not None:
+            out["rels_accumulator"] = prec_rels
     if t.rels_multitask:
         out["rels"] = out_rels
     if t.tr_maximize:

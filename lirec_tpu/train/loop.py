@@ -107,9 +107,11 @@ def train(
         batch_time, data_time, loss_meter = Averaging(), Averaging(), Averaging()
         start = time.time()
         end = time.time()
-        for i, batch in enumerate(iterator):
+        from lirec_tpu.data.pipeline import prefetch_to_device
+
+        for i, batch in enumerate(prefetch_to_device(iterator)):
             data_time.update(time.time() - end)
-            n = len(np.atleast_1d(batch["labels"]))
+            n = batch["labels"].shape[0] if batch["labels"].ndim else 1
             if n == 1:
                 continue  # ref :55-56
             rng = jax.random.fold_in(base_rng, epoch * 100003 + i)
