@@ -120,9 +120,14 @@ def extract(
                 if sent_idx == 0:
                     keep = len(tokens)
                 else:
-                    # sliding 2-sentence windows: only the new second
-                    # sentence's tokens are appended (ref :186-191)
-                    keep = len(tokens) - prev_len  # noqa: F821
+                    # sliding 2-sentence windows: only the second segment —
+                    # tokens AFTER the window's first [SEP] — is new
+                    # (ref feature_extraction.py:177-191)
+                    first_sep = (
+                        tokens.index("[SEP]") if "[SEP]" in tokens
+                        else len(tokens) - 1
+                    )
+                    keep = len(tokens) - (first_sep + 1)
                 if keep <= 0:
                     continue
                 embeddings = (
@@ -133,9 +138,6 @@ def extract(
                 for tok in tokens[-keep:]:
                     token_lines.append("%s %d" % (tok, total))
                     total += 1
-                prev_len = len(tokens) - (
-                    tokens.index("[SEP]") + 1 if "[SEP]" in tokens else 0
-                )
         if embeddings is None:
             embeddings = np.zeros((0, encoder.layers * encoder.dim), np.float32)
         np.save(npy_path, embeddings)

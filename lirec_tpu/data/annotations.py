@@ -319,21 +319,25 @@ def mine_interactions(
             ]
         )
     merged_clips = vocab_lib.load_merged_clips(paths.merged_videos)
+    graphs_is_dir = os.path.isdir(paths.annotations)
     if isinstance(movie_idxs, str) and movie_idxs != "all":
         movie_list = [movie_idxs]
     elif movie_idxs == "all":
-        movie_list = [
-            f[: -len(".json")]
-            for f in sorted(os.listdir(paths.annotations))
-            if f.endswith(".json")
-        ] if os.path.isdir(paths.annotations) else "all"
+        if graphs_is_dir:
+            movie_list = [
+                f[: -len(".json")]
+                for f in sorted(os.listdir(paths.annotations))
+                if f.endswith(".json")
+            ]
+        else:
+            # pickle source: enumerate its movies so face tracks load too
+            movie_list = list(
+                graphs_lib.load_mg_pickle(paths.annotations_pickle)
+            )
     else:
         movie_list = list(movie_idxs)
 
-    ftracks = load_face_tracks(
-        paths.ftrack_ids, paths.ftracks,
-        movie_list if isinstance(movie_list, list) else [],
-    )
+    ftracks = load_face_tracks(paths.ftrack_ids, paths.ftracks, movie_list)
     rels_15, rels_opp = vocab_lib.load_relships(
         paths.relships2_15, paths.relships_opp
     )

@@ -52,11 +52,19 @@ def evaluate_rels_only(
             padded = 1 << max(1, (L - 1)).bit_length()  # next pow2 >= L
             buckets.setdefault(padded, []).append(i)
 
+        import dataclasses
+
+        from lirec_tpu.models.tabular import midfusion_tabular
+
+        # items here are [B, L+1, 3] regardless of preset; force the
+        # non-maxtracks forward (the maxtracks dispatch expects a
+        # 4-D hypothesis layout)
+        flat_spec = dataclasses.replace(bundle.spec, tr_maximize=False)
+
         @jax.jit
         def step(p, feat_idx, rels_mask, tbls):
-            out = bundle.apply(
-                p, {"feat_idx": feat_idx, "rels_mask": rels_mask},
-                tables=tbls, deterministic=True,
+            out = midfusion_tabular(
+                p, flat_spec, tbls, feat_idx, rels_mask
             )
             return out["rels"]
 
@@ -135,22 +143,36 @@ def evaluate(
 
     step_fn = jit_apply or jax.jit(_step)
 
-    # Phase 1: dispatch every batch (async); phase 2: host metric updates.
-    # This overlaps device compute with host work and avoids a device->host
-    # sync per batch (expensive on remote/tunnelled TPUs).
-    pending = []
-    for batch in it:
-        if len(np.atleast_1d(batch["labels"])) == 1:
-            continue  # ref test.py:38-39
-        outputs, loss = step_fn(params, batch, tables, embedded)
-        pending.append((batch, outputs, loss))
+    # Bounded pipeline: keep a few batches in flight so device compute
+    # overlaps host metric accumulation, without holding O(dataset) device
+    # outputs live at once.
+    import collections
 
-    for batch, outputs, loss in pending:
+    PIPELINE_DEPTH = 4
+    in_flight = collections.deque()
+
+    def _drain_one():
+        batch, outputs, loss = in_flight.popleft()
         outputs = {
             k: (np.asarray(v) if v is not None else None)
             for k, v in outputs.items()
         }
         losses.append(float(loss))
+        return batch, outputs
+
+    def _batches():
+        for batch in it:
+            if len(np.atleast_1d(batch["labels"])) == 1:
+                continue  # ref test.py:38-39
+            in_flight.append(
+                (batch,) + tuple(step_fn(params, batch, tables, embedded))
+            )
+            if len(in_flight) >= PIPELINE_DEPTH:
+                yield _drain_one()
+        while in_flight:
+            yield _drain_one()
+
+    for batch, outputs in _batches():
 
         if t.soft_gt:
             conf_mat = prec.update_probs(

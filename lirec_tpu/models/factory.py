@@ -6,7 +6,6 @@ with dense batches (parity path) or packed index batches + feature tables
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, NamedTuple, Optional
 
 import jax
@@ -156,8 +155,6 @@ def create_model(cfg, n_classes: int, n_rels: int = 0, key=None) -> ModelBundle:
     else:
         def loss(outputs, batch, rng=None, tr_sum_max_flag=None):
             return losses_lib.max_margin_ce_loss(outputs, batch, margin=o.margin)
-
-    apply = functools.partial(apply_model, spec=spec)
 
     def apply_fn(params, batch, tables=None, deterministic=True, rng=None,
                  **kw):

@@ -121,6 +121,12 @@ def gather_masked_sum(
     mask = jnp.asarray(mask)
     if force == "reference":
         return gather_masked_sum_reference(table, idx, mask)
+    if force in ("interpret", "pallas") and not _supported(table, idx):
+        raise ValueError(
+            "gather_masked_sum kernel requires M %% %d == 0, D %% 128 == 0 "
+            "and the table to fit VMEM; got table %s, idx %s"
+            % (TILE_M, table.shape, idx.shape)
+        )
     if force == "interpret":
         return _pallas_call(table, idx, mask, interpret=True)
     on_tpu = jax.default_backend() == "tpu"

@@ -147,13 +147,17 @@ def train(
         )
 
         if epoch % o.test_fr == 0 and val_dataset is not None:
+            # NOTE: each dataset owns its feature tables with dataset-local
+            # row indices — evaluate must derive tables from ITS dataset
+            # (passing the train tables here would gather val/test index
+            # triples from the wrong rows, silently corrupting metrics)
             evaluate(
                 train_dataset, bundle, params, cfg, mode="train",
                 tables=tables, dense=dense, verbose=verbose,
             )
             check_val = evaluate(
                 val_dataset, bundle, params, cfg, mode="val",
-                tables=tables, dense=dense, verbose=verbose,
+                dense=dense, verbose=verbose,
             )
             check_val = {
                 k: v for k, v in check_val.items() if k != "loss"
@@ -165,7 +169,7 @@ def train(
                 if test_dataset is not None:
                     evaluate(
                         test_dataset, bundle, params, cfg, mode="test",
-                        tables=tables, dense=dense, verbose=verbose,
+                        dense=dense, verbose=verbose,
                     )
         if o.save_model and o.save_model_often and epoch % 30 == 0:
             saver.save()

@@ -104,3 +104,23 @@ def test_annotation_preprocessing(synth_cfg):
     empty.G = type(empty.G)()
     movie.clip_graphs[999] = empty
     assert movie.cleanup_empty() == 1
+
+
+def test_rels_only_eval_maxtracks_preset(synth_root):
+    """Regression: rels-only eval must not dispatch to the 4-D maxtracks
+    forward for tr_maximize presets."""
+    from lirec_tpu.evaluation.runner import evaluate_rels_only
+    from lirec_tpu.models.factory import create_model
+
+    base = synthetic.make_config(synth_root)
+    cfg = (
+        config_lib.preset("int_rel_ch", data_root=synth_root)
+        .replace(dims=base.dims, paths=base.paths)
+        .with_runtime(compute_dtype="float32")
+    )
+    ds = InteractionDataset(cfg, mode="val", label_chooser=first_choice)
+    ds.cache()
+    ds.init_relships()
+    bundle = create_model(cfg, ds.n_classes, n_rels=ds.n_rels - 1)
+    out = evaluate_rels_only(ds, bundle, bundle.params, cfg, verbose=False)
+    assert 0 <= out["rels_top1"] <= 1

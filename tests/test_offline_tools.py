@@ -109,3 +109,31 @@ def test_metric_extras():
     m3.movie_paar[2][:] = [0.0, 2.0, 1.0]
     m3.movie_rels()
     assert m3.rels_global() == 0.5
+
+
+def test_extract_sliding_window_no_duplicate_sep(tmp_path):
+    """Multi-speaker blocks: each window appends only its second segment
+    (regression: an off-by-one duplicated the mid-window [SEP])."""
+    import os.path as ops
+
+    from lirec_tpu.cli.extract_text import FakeEncoder, extract
+
+    d = tmp_path / "dialogs" / "tt0000001"
+    d.mkdir(parents=True)
+    (d / "scene-001.ss-0000.es-0010.webvtt").write_text(
+        "WEBVTT\n\n00:00:01.000 --> 00:00:04.000\n"
+        "- First speaker line.\n- Second speaker here.\n- Third one too.\n\n"
+    )
+    out = tmp_path / "out"
+    extract(str(tmp_path / "dialogs"), str(out), FakeEncoder(2, 4),
+            verbose=False)
+    tokens = [
+        line.split()[0]
+        for line in (out / "tt0000001" / "tt0000001_001.token2idx")
+        .read_text().splitlines()
+    ]
+    assert tokens.count("[CLS]") == 1
+    for a, b in zip(tokens, tokens[1:]):
+        assert not (a == "[SEP]" and b == "[SEP]"), tokens
+    # 3 speakers -> 2 windows; all three sentences' tokens present once
+    assert tokens.count("[SEP]") == 3
