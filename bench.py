@@ -100,8 +100,9 @@ def bench_jax(batch_size: int, iters: int, warmup: int, compute_dtype: str):
     # - bf16 feature tables are also slower (0.92 vs 0.85 ms/step): gather
     #   of 16-bit rows packs lanes worse than the halved bytes save.
     # - the loss costs ~0.06 ms of the step (fwd-only 0.79 ms).
-    # - the training step (gather-then-embed, per-use dropout, fwd+bwd+Adam)
-    #   is ~11.6 ms/step -> ~5.5k clips/sec.
+    # - the training step (hybrid packed forward: table-level first layers,
+    #   per-use dropout+second layers; fwd+bwd+Adam) is ~9.6 ms/step
+    #   (~6.7k clips/sec); was 11.6 ms with gather-then-embed.
     use_pallas = False
     t0 = time.time()
     float(sweep(params, stacked, tables, 2, use_pallas))

@@ -67,9 +67,27 @@ def apply_model(
         )
 
     if "feat_idx" in batch:
-        s = slices_from_tables(tables, batch["feat_idx"])
-    else:
-        s = slices_from_dense(jnp.asarray(batch["features"]), spec)
+        # packed train path: first layers at table level (exact, incl.
+        # dropout masks — see models/hybrid.py)
+        from lirec_tpu.models import hybrid
+
+        feat_idx = jnp.asarray(batch["feat_idx"])
+        rels_mask = batch.get("rels_mask")
+        if rels_mask is not None:
+            rels_mask = jnp.asarray(rels_mask)
+        if spec.mod_check:
+            return hybrid.modalities_hybrid(
+                params, spec, tables, feat_idx, deterministic, rng
+            )
+        if spec.tr_maximize:
+            return hybrid.midfusion_maxtracks_hybrid(
+                params, spec, tables, feat_idx, rels_mask, deterministic, rng
+            )
+        return hybrid.midfusion_hybrid(
+            params, spec, tables, feat_idx, rels_mask, deterministic, rng
+        )
+
+    s = slices_from_dense(jnp.asarray(batch["features"]), spec)
 
     if spec.mod_check:
         if s.text.ndim == 3:  # [B, 1, D] -> GT row

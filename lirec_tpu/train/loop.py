@@ -34,7 +34,11 @@ def make_train_step(bundle, tx):
     """Build the jitted (params, opt_state, batch, tables, rng) -> update
     step. `tables` ride through jit as regular (shardable) arguments."""
 
-    @functools.partial(jax.jit, static_argnames=("tr_sum_max_flag",))
+    # donate params/opt_state buffers: the update writes in place instead of
+    # allocating fresh arrays (callers always rebind the returned values)
+    @functools.partial(
+        jax.jit, static_argnames=("tr_sum_max_flag",), donate_argnums=(0, 1)
+    )
     def step(params, opt_state, batch, tables, rng, tr_sum_max_flag=True):
         rng_drop, rng_loss = jax.random.split(rng)
         model_batch = {k: batch[k] for k in MODEL_KEYS if k in batch}
