@@ -34,11 +34,10 @@ def make_train_step(bundle, tx):
     """Build the jitted (params, opt_state, batch, tables, rng) -> update
     step. `tables` ride through jit as regular (shardable) arguments."""
 
-    # donate params/opt_state buffers: the update writes in place instead of
-    # allocating fresh arrays (callers always rebind the returned values)
-    @functools.partial(
-        jax.jit, static_argnames=("tr_sum_max_flag",), donate_argnums=(0, 1)
-    )
+    # NOTE: params/opt_state are deliberately NOT donated — callers hold on
+    # to initial params (parity tests, BestNSaver snapshots, re-evaluation),
+    # and donation would invalidate those references on the next step.
+    @functools.partial(jax.jit, static_argnames=("tr_sum_max_flag",))
     def step(params, opt_state, batch, tables, rng, tr_sum_max_flag=True):
         rng_drop, rng_loss = jax.random.split(rng)
         model_batch = {k: batch[k] for k in MODEL_KEYS if k in batch}
