@@ -51,6 +51,8 @@ def build_parser(preset_name: str) -> argparse.ArgumentParser:
                    help="save a resumable latest.ckpt every N epochs")
     p.add_argument("--auto-resume", action="store_true",
                    help="continue from <store-root>/latest.ckpt if present")
+    p.add_argument("--cache-workers", type=int, default=0,
+                   help="thread pool size for feature precompute IO")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--text-dim", type=int, default=768)
@@ -125,14 +127,15 @@ def run_entry(preset_name: str, argv=None) -> dict:
     needs_rels = cfg.tasks.rels or cfg.tasks.rels_multitask
     datasets = {}
     train_split = TRAIN_SPLIT[preset_name]
+    workers = args.cache_workers
     train_ds = InteractionDataset(cfg, mode=train_split)
-    train_ds.cache()
+    train_ds.cache(parallel_workers=workers)
     val_ds = InteractionDataset(cfg, mode="val")
     val_ds.n_classes = train_ds.n_classes
-    val_ds.cache()
+    val_ds.cache(parallel_workers=workers)
     test_ds = InteractionDataset(cfg, mode="test")
     test_ds.n_classes = train_ds.n_classes
-    test_ds.cache()
+    test_ds.cache(parallel_workers=workers)
     if needs_rels:
         train_ds.init_relships()
         val_ds.init_relships()

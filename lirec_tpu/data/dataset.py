@@ -257,10 +257,18 @@ class InteractionDataset:
 
     # -- precompute ----------------------------------------------------------
 
-    def cache(self) -> None:
+    def cache(self, parallel_workers: int = 0) -> None:
         """Precompute every fused row into the tables
-        (ref classification_dataloader.py:139-186)."""
+        (ref classification_dataloader.py:139-186).
+
+        With ``parallel_workers > 1``, per-(movie, scene) feature reading
+        (the np.load + pooling that dominates on real data) runs in a
+        thread pool; table row indices are still assigned in the
+        deterministic sequential order below.
+        """
         t = self.cfg.tasks
+        if parallel_workers > 1:
+            self._warm_readers(parallel_workers)
         for idx, triplet_idx in self.idxs_with_triplets:
             inter = self.interactions[idx]
             movie_idx = inter.video_descr["movie"]
@@ -301,6 +309,38 @@ class InteractionDataset:
             self._cache_relationships()
         self.tables.finalize()
         self._cached = True
+
+    def _warm_readers(self, workers: int) -> None:
+        """Populate each scene reader's memoized rows concurrently (numpy IO
+        and pooling release the GIL). Memo dict writes are per-reader and
+        the later sequential pass only reads memoized values, so table
+        ordering is unaffected."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        by_scene: Dict[Tuple[str, int], List] = defaultdict(list)
+        seen = set()
+        for idx, _triplet_idx in self.idxs_with_triplets:
+            if idx in seen:
+                continue
+            seen.add(idx)
+            inter = self.interactions[idx]
+            key = (inter.video_descr["movie"], inter.video_descr["scene"][0])
+            by_scene[key].append(inter)
+
+        def warm(key):
+            reader = self.features[key]
+            for inter in by_scene[key]:
+                reader.get_features_by_time(inter.time_node, idx=inter.id)
+                if self.tracks and len(inter.triplets):
+                    for name in inter.id2names.values():
+                        reader.get_features_by_track(
+                            inter.ftracks[name], idx=(inter.id, name),
+                            name=name,
+                        )
+            reader.free()
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(warm, by_scene))
 
     def _context_eval_stride(self, length: int) -> List[int]:
         # stable eval subsampling (ref :229)

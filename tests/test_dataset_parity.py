@@ -124,3 +124,17 @@ def test_parity_int_rel_ch_train_mode(synth_root):
         keys=["features", "labels", "mem_mask", "gt_tracks", "rels_label",
               "rels_mask", "just_zeros", "multilab_weights"],
     )
+
+
+def test_parallel_cache_matches_sequential(synth_root):
+    """Threaded feature warm-up must produce identical tables."""
+    cfg = _preset_cfg(synth_root, "int_rel_ch")
+    a = InteractionDataset(cfg, mode="val", label_chooser=first_choice)
+    a.cache()
+    b = InteractionDataset(cfg, mode="val", label_chooser=first_choice)
+    b.cache(parallel_workers=4)
+    np.testing.assert_array_equal(a.tables.text, b.tables.text)
+    np.testing.assert_array_equal(a.tables.visual, b.tables.visual)
+    np.testing.assert_array_equal(a.tables.track, b.tables.track)
+    assert a.tables._clip_index == b.tables._clip_index
+    assert a.tables._track_index == b.tables._track_index
