@@ -65,6 +65,7 @@ class MetricAccumulator:
         gt: np.ndarray,
         soft_labels: Optional[np.ndarray] = None,
         conf_mat: Optional[np.ndarray] = None,
+        top_n_labels: int = 0,
     ):
         pr_probs = np.asarray(pr_probs)
         gt = np.asarray(gt).reshape(-1)
@@ -73,6 +74,7 @@ class MetricAccumulator:
         self._top1 += int(np.sum(pr_classes[:, 0] == gt))
         self._top3 += int(np.sum((pr_classes[:, :3] == gt[:, None]).any(axis=1)))
         self._top5 += int(np.sum((pr_classes[:, :5] == gt[:, None]).any(axis=1)))
+        self._top10 += int(np.sum((pr_classes[:, :10] == gt[:, None]).any(axis=1)))
         if soft_labels is not None:
             # first top-5 prediction inside the soft set decides both
             # counters (ref :87-94)
@@ -88,6 +90,11 @@ class MetricAccumulator:
             for gt_label, pr_label in zip(gt, pr_classes[:, 0]):
                 conf_mat[gt_label, pr_label] += 1
             return conf_mat
+        if top_n_labels:
+            # (top-n classes, their probabilities) per sample (ref :102-107)
+            top = pr_classes[:, :top_n_labels]
+            probs = np.take_along_axis(pr_probs, top, axis=1)
+            return top, probs
         return None
 
     # -- grounding (ref evaluation.py:114-177) ---------------------------

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from lirec_tpu.models import losses as losses_lib
-from lirec_tpu.models.blocks import slices_from_dense, slices_from_tables
+from lirec_tpu.models.blocks import slices_from_dense
 from lirec_tpu.models.midfusion import (
     init_midfusion,
     midfusion_forward,

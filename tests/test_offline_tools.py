@@ -137,3 +137,30 @@ def test_extract_sliding_window_no_duplicate_sep(tmp_path):
         assert not (a == "[SEP]" and b == "[SEP]"), tokens
     # 3 speakers -> 2 windows; all three sentences' tokens present once
     assert tokens.count("[SEP]") == 3
+
+
+def test_tracks_search():
+    from lirec_tpu.evaluation.metrics import TracksSearch
+
+    ts = TracksSearch()
+    # 3 track pairs x 4 interactions; global max at (track 1, inter 2)
+    score = np.array([
+        [0.1, 0.2, 0.3, 0.0],
+        [0.0, 0.1, 0.9, 0.2],
+        [0.3, 0.0, 0.1, 0.1],
+    ])
+    ts.track_pair(score, gt_inter_idx=2, gt_track_idxs=[1])
+    assert ts.top1() == 1.0 and ts.top1_gt_inter() == 1.0
+    ts.track_pair(score, gt_inter_idx=0, gt_track_idxs=[0])
+    assert ts.top1() == 0.5
+    assert abs(ts.random() - 1 / 3) < 1e-9
+
+
+def test_update_probs_top_n_labels():
+    from lirec_tpu.evaluation.metrics import MetricAccumulator
+
+    m = MetricAccumulator()
+    probs = np.array([[0.1, 0.5, 0.4], [0.9, 0.05, 0.05]])
+    top, p = m.update_probs(probs, np.array([1, 0]), top_n_labels=2)
+    np.testing.assert_array_equal(top, [[1, 2], [0, 1]])
+    np.testing.assert_allclose(p, [[0.5, 0.4], [0.9, 0.05]])
