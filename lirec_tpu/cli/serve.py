@@ -1,0 +1,221 @@
+"""Inference server: the deployment surface the reference never had.
+
+A lightweight HTTP/JSON server around the jit-compiled eval forward:
+
+    POST /predict   {"samples": [{"feat_idx": [[c,t1,t2] x (1+R)] x T,
+                                  "rels_mask": [[0/1 x R] x T]}, ...]}
+      -> {"predictions": [{"interactions": [{"label": i, "score": s} topk],
+                           "relationships": [...],
+                           "track_scores": [...]}, ...]}
+    GET  /healthz   -> {"status": "ok", ...}
+
+Requests are padded to power-of-two batch buckets so the number of
+compiled shapes stays bounded; the first request per bucket pays the
+compile, later ones are steady-state. Feature tables are embedded once at
+startup (models/tabular.embed_all).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class InferenceEngine:
+    """jit-warmed forward over fixed feature tables."""
+
+    def __init__(self, bundle, tables, topk: int = 5, max_batch: int = 64):
+        import jax
+        import jax.numpy as jnp
+
+        from lirec_tpu.models.tabular import embed_all
+
+        self.bundle = bundle
+        self.topk = topk
+        self.max_batch = max_batch
+        self.tables = jax.tree.map(jnp.asarray, tables)
+        self.embedded = jax.jit(
+            lambda p, tb: embed_all(p, bundle.spec, tb)
+        )(bundle.params, self.tables)
+        self._lock = threading.Lock()
+
+        @jax.jit
+        def forward(params, feat_idx, rels_mask, tables, embedded):
+            out = bundle.apply(
+                params,
+                {"feat_idx": feat_idx, "rels_mask": rels_mask},
+                tables=tables,
+                embedded=embedded,
+            )
+            return out["inters"], out["rels"]
+
+        self._forward = forward
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        return 1 << max(0, (n - 1)).bit_length()
+
+    def predict(self, feat_idx: np.ndarray, rels_mask: np.ndarray):
+        """feat_idx [B, T, 1+R, 3]; rels_mask [B, T, R] -> per-sample topk."""
+        import jax
+
+        B = feat_idx.shape[0]
+        if B > self.max_batch:
+            raise ValueError("batch too large: %d > %d" % (B, self.max_batch))
+        padded = self._bucket(B)
+        if padded != B:
+            feat_idx = np.concatenate(
+                [feat_idx, np.zeros((padded - B,) + feat_idx.shape[1:],
+                                    feat_idx.dtype)]
+            )
+            rels_mask = np.concatenate(
+                [rels_mask, np.zeros((padded - B,) + rels_mask.shape[1:],
+                                     rels_mask.dtype)]
+            )
+        with self._lock:
+            inters, rels = self._forward(
+                self.bundle.params, feat_idx, rels_mask, self.tables,
+                self.embedded,
+            )
+        inters = np.asarray(inters, np.float64)[:B]  # [B, T, C]
+        rels = np.asarray(rels, np.float64)[:B] if rels is not None else None
+
+        def sigmoid(x):
+            return 1.0 / (1.0 + np.exp(-np.clip(x, -500, 500)))
+
+        results = []
+        for b in range(B):
+            s_cl = sigmoid(inters[b])  # [T, C]
+            track_scores = s_cl.max(axis=1)
+            best_track = int(track_scores.argmax())
+            class_scores = s_cl[best_track]
+            top_cls = np.argsort(-class_scores)[: self.topk]
+            item = {
+                "track_scores": [round(float(x), 6) for x in track_scores],
+                "best_track": best_track,
+                "interactions": [
+                    {"label": int(i), "score": round(float(class_scores[i]), 6)}
+                    for i in top_cls
+                ],
+            }
+            if rels is not None:
+                s_r = sigmoid(rels[b])[best_track]
+                top_r = np.argsort(-s_r)[: self.topk]
+                item["relationships"] = [
+                    {"label": int(i), "score": round(float(s_r[i]), 6)}
+                    for i in top_r
+                ]
+            results.append(item)
+        return results
+
+
+def make_handler(engine: InferenceEngine):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _send(self, code: int, payload: Dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {
+                    "status": "ok",
+                    "n_classes": engine.bundle.spec.n_classes,
+                    "n_rels": engine.bundle.spec.n_rels,
+                    "max_batch": engine.max_batch,
+                })
+            else:
+                self._send(404, {"error": "unknown path %s" % self.path})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, {"error": "unknown path %s" % self.path})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                samples = payload["samples"]
+                feat_idx = np.asarray(
+                    [s["feat_idx"] for s in samples], np.int32
+                )
+                rels_mask = np.asarray(
+                    [s["rels_mask"] for s in samples], np.int32
+                )
+                if feat_idx.ndim != 4 or feat_idx.shape[-1] != 3:
+                    raise ValueError(
+                        "feat_idx must be [T, 1+R, 3] per sample; got %s"
+                        % (feat_idx.shape,)
+                    )
+                results = engine.predict(feat_idx, rels_mask)
+                self._send(200, {"predictions": results})
+            except (KeyError, ValueError, TypeError) as err:
+                self._send(400, {"error": str(err)})
+
+    return Handler
+
+
+def build_engine_from_args(args) -> InferenceEngine:
+    from lirec_tpu import config as config_lib
+    from lirec_tpu.cli.common import load_checkpoint_params
+    from lirec_tpu.data.dataset import InteractionDataset
+    from lirec_tpu.models.factory import create_model
+
+    cfg = config_lib.preset(args.preset, data_root=args.data_root)
+    cfg = cfg.with_dims(
+        text_dim=args.text_dim, visual_dim=args.visual_dim,
+        text_layers=args.text_layers, joint_dim=args.joint_dim,
+    )
+    ds = InteractionDataset(cfg, mode=args.split)
+    ds.cache(parallel_workers=args.cache_workers)
+    if cfg.tasks.rels or cfg.tasks.rels_multitask:
+        ds.init_relships()
+    bundle = create_model(cfg, ds.n_classes, n_rels=max(ds.n_rels - 1, 0))
+    params = bundle.params
+    if args.resume_path:
+        params = load_checkpoint_params(args.resume_path, template=params)
+    bundle = bundle._replace(params=params)
+    tb = ds.tables
+    tables = {"text": tb.text, "visual": tb.visual, "track": tb.track}
+    return InferenceEngine(bundle, tables, topk=args.topk,
+                           max_batch=args.max_batch)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="lirec-tpu serve")
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--preset", default="int_rel_ch")
+    p.add_argument("--split", default="test")
+    p.add_argument("--resume-path", default="")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8900)
+    p.add_argument("--topk", type=int, default=5)
+    p.add_argument("--max-batch", type=int, default=64)
+    p.add_argument("--cache-workers", type=int, default=0)
+    p.add_argument("--text-dim", type=int, default=768)
+    p.add_argument("--visual-dim", type=int, default=2048)
+    p.add_argument("--text-layers", type=int, default=12)
+    p.add_argument("--joint-dim", type=int, default=512)
+    args = p.parse_args(argv)
+
+    from lirec_tpu.cli.common import _enable_compilation_cache
+
+    _enable_compilation_cache()
+    engine = build_engine_from_args(args)
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(engine))
+    print("serving on http://%s:%d" % (args.host, args.port))
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

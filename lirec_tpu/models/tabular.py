@@ -29,10 +29,19 @@ __all__ = [
 
 
 class EmbeddedTables(NamedTuple):
-    txt: jnp.ndarray  # [n_clips, joint]
-    vis: jnp.ndarray  # [n_clips, joint]
+    # txt and vis are indexed by the SAME clip id, so their embeddings are
+    # stored pre-concatenated: one wide gather instead of two
+    clip: jnp.ndarray  # [n_clips, 2*joint] = [txt | vis]
     tr1: jnp.ndarray  # [n_tracks, joint//2]
     tr2: jnp.ndarray  # [n_tracks, joint//2]
+
+    @property
+    def txt(self) -> jnp.ndarray:
+        return self.clip[:, : self.clip.shape[1] // 2]
+
+    @property
+    def vis(self) -> jnp.ndarray:
+        return self.clip[:, self.clip.shape[1] // 2:]
 
 
 def _two_layer(params, n1, n2, x, cdt):
@@ -43,11 +52,12 @@ def _two_layer(params, n1, n2, x, cdt):
 def embed_tables(params: Dict, prefix: str, tables: Dict, spec) -> EmbeddedTables:
     """Per-modality MLPs over the deduplicated tables (eval: dropout = id)."""
     cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
+    txt = _two_layer(params, "txt_%s" % prefix, "txt2_%s" % prefix,
+                     tables["text"], cdt)
+    vis = _two_layer(params, "vis_%s" % prefix, "vis2_%s" % prefix,
+                     tables["visual"], cdt)
     return EmbeddedTables(
-        txt=_two_layer(params, "txt_%s" % prefix, "txt2_%s" % prefix,
-                       tables["text"], cdt),
-        vis=_two_layer(params, "vis_%s" % prefix, "vis2_%s" % prefix,
-                       tables["visual"], cdt),
+        clip=jnp.concatenate([txt, vis], axis=-1),
         tr1=_two_layer(params, "tracks1_%s" % prefix, "tracks12_%s" % prefix,
                        tables["track"], cdt),
         tr2=_two_layer(params, "tracks2_%s" % prefix, "tracks22_%s" % prefix,
@@ -56,11 +66,11 @@ def embed_tables(params: Dict, prefix: str, tables: Dict, spec) -> EmbeddedTable
 
 
 def _gather_row(emb: EmbeddedTables, idx: jnp.ndarray) -> jnp.ndarray:
-    """Fused row embedding for index triples idx[..., 3] -> [..., 3*joint]."""
+    """Fused row embedding for index triples idx[..., 3] -> [..., 3*joint].
+    Output order [txt | vis | tr1 | tr2] is preserved by the clip concat."""
     return jnp.concatenate(
         [
-            emb.txt[idx[..., 0]],
-            emb.vis[idx[..., 0]],
+            emb.clip[idx[..., 0]],
             emb.tr1[idx[..., 1]],
             emb.tr2[idx[..., 2]],
         ],
@@ -101,8 +111,7 @@ def _pooled_ctx(
         from lirec_tpu.ops.gather_pool import gather_masked_sum
 
         parts = [
-            gather_masked_sum(emb.txt, idx[..., 0], m),
-            gather_masked_sum(emb.vis, idx[..., 0], m),
+            gather_masked_sum(emb.clip, idx[..., 0], m),
             gather_masked_sum(emb.tr1, idx[..., 1], m),
             gather_masked_sum(emb.tr2, idx[..., 2], m),
         ]
@@ -116,8 +125,7 @@ def _pooled_ctx(
             return (g * w.astype(g.dtype)).sum(axis=-2)
 
         pooled = jnp.concatenate(
-            [pool(emb.txt, 0), pool(emb.vis, 0), pool(emb.tr1, 1),
-             pool(emb.tr2, 2)],
+            [pool(emb.clip, 0), pool(emb.tr1, 1), pool(emb.tr2, 2)],
             axis=-1,
         )
     return pooled / divider.astype(pooled.dtype)

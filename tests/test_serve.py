@@ -1,0 +1,91 @@
+"""Inference server: drive it over a real socket."""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from lirec_tpu import config as config_lib
+from lirec_tpu.cli.serve import InferenceEngine, make_handler
+from lirec_tpu.models.factory import create_model
+from lirec_tpu.utils.fake_batch import make_batch, make_tables
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = config_lib.preset("int_rel_ch", data_root="/tmp/x")
+    cfg = cfg.with_dims(text_dim=16, visual_dim=32, joint_dim=16)
+    cfg = cfg.with_runtime(compute_dtype="float32")
+    bundle = create_model(cfg, 9, n_rels=6)
+    tables = make_tables(bundle.spec, 32, 48, seed=1)
+    engine = InferenceEngine(bundle, tables, topk=3, max_batch=8)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield "http://127.0.0.1:%d" % httpd.server_port, bundle
+    httpd.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as err:
+        return err.code, json.loads(err.read())
+
+
+def test_healthz(server):
+    base, bundle = server
+    with urllib.request.urlopen(base + "/healthz") as resp:
+        payload = json.loads(resp.read())
+    assert payload["status"] == "ok"
+    assert payload["n_classes"] == 9
+
+
+def test_predict(server):
+    base, bundle = server
+    batch = make_batch(bundle.spec, 3, 32, 48, seed=2)
+    samples = [
+        {
+            "feat_idx": batch["feat_idx"][i].tolist(),
+            "rels_mask": batch["rels_mask"][i].tolist(),
+        }
+        for i in range(3)
+    ]
+    status, payload = _post(base + "/predict", {"samples": samples})
+    assert status == 200
+    preds = payload["predictions"]
+    assert len(preds) == 3
+    for p in preds:
+        assert len(p["interactions"]) == 3
+        assert len(p["relationships"]) == 3
+        assert 0 <= p["best_track"] < 20
+        assert all(0 <= x["score"] <= 1 for x in p["interactions"])
+    # padding: scores match direct forward on the unpadded batch
+    mb = {k: batch[k][:3] for k in ("feat_idx", "rels_mask")}
+    import jax.numpy as jnp
+
+    tables = {
+        k: jnp.asarray(v)
+        for k, v in make_tables(bundle.spec, 32, 48, seed=1).items()
+    }
+    out = bundle.apply(bundle.params, mb, tables=tables)
+    s = 1 / (1 + np.exp(-np.asarray(out["inters"], np.float64)[0]))
+    assert abs(preds[0]["track_scores"][0] - s.max(axis=1)[0]) < 1e-4
+
+
+def test_predict_bad_requests(server):
+    base, _ = server
+    status, payload = _post(base + "/predict", {"nope": 1})
+    assert status == 400 and "error" in payload
+    status, payload = _post(base + "/predict", {"samples": [{"feat_idx": [1]}]})
+    assert status == 400
+    status, payload = _post(base + "/missing", {})
+    assert status == 404
