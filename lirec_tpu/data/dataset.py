@@ -366,7 +366,13 @@ class InteractionDataset:
                     pair
                 ].rel2scenes.items():
                     dict_key = (movie_id, pair[0], pair[1], pair_rel)
-                    cached_pairs.add(pair)
+                    # movie-scoped, unlike the reference's global name-pair
+                    # set (ref :204,243): with cross-movie character-name
+                    # collisions the reference would exclude the pair from
+                    # the None-cache and then KeyError in __getitem__
+                    # (classification_dataloader.py:374); scoping by movie
+                    # is identical wherever the reference doesn't crash
+                    cached_pairs.add((movie_id, pair))
                     if dict_key not in self.hashidx_rels:
                         self.hashidx_rels[dict_key] = hash_idx
                         self.hashrels_idx[hash_idx] = dict_key
@@ -416,7 +422,7 @@ class InteractionDataset:
         self.context_idxs_none: Dict[Tuple, List[int]] = {}
         for key, scenes2inters in self.pair2scenes.items():
             movie_idx, name1, name2 = key
-            if (name1, name2) in cached_pairs:
+            if (movie_idx, (name1, name2)) in cached_pairs:
                 continue
             rows: List[Tuple[int, int, int]] = []
             inter_classes: List[int] = []
@@ -824,7 +830,31 @@ class InteractionDataset:
             sf_idx += 1
         output["soft_labels"] = soft_labels
 
-    # -- dense materialization ----------------------------------------------
+    # -- whole-split materialization ---------------------------------------
+
+    def materialize(
+        self, rng: Optional[np.random.Generator] = None,
+        cache: bool = True,
+    ) -> Dict[str, np.ndarray]:
+        """Assemble every sample once into stacked arrays.
+
+        Eval batching then becomes pure slicing (the per-sample Python
+        assembly runs at ~10k samples/s on one core — 8x slower than the
+        device eval step). Eval-mode results are cached on the dataset:
+        the sample contract is deterministic given the dataset's RNG
+        stream, mirroring the reference's seed-once-then-iterate behavior.
+        """
+        if cache and getattr(self, "_materialized", None) is not None:
+            return self._materialized
+        from lirec_tpu.data.pipeline import collate
+
+        rng = rng or np.random.default_rng((self.cfg.optim.seed, 0x5A11))
+        batch = collate(
+            [self.__getitem__(i, rng) for i in range(len(self))]
+        )
+        if cache and self.mode != "train":
+            self._materialized = batch
+        return batch
 
     def to_dense(self, sample: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         """Gather index triples into the reference float layout

@@ -91,10 +91,24 @@ class BatchIterator:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             rng.shuffle(order)
+        # eval fast path: slice the materialized split instead of per-sample
+        # Python assembly (train mode needs fresh per-epoch randomness)
+        materialized = None
+        if (
+            not self.shuffle
+            and not self.dense
+            and getattr(self.dataset, "mode", "train") != "train"
+            and hasattr(self.dataset, "materialize")
+            and not getattr(self.dataset, "test_rels_multi_clip", False)
+        ):
+            materialized = self.dataset.materialize()
         for start in range(0, len(order), self.batch_size):
             chunk = order[start : start + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 break
+            if materialized is not None:
+                yield {k: v[chunk] for k, v in materialized.items()}
+                continue
             samples = [self.dataset.__getitem__(int(i), rng) for i in chunk]
             if self.dense:
                 samples = [self.dataset.to_dense(s) for s in samples]
