@@ -53,6 +53,9 @@ def build_parser(preset_name: str) -> argparse.ArgumentParser:
                    help="continue from <store-root>/latest.ckpt if present")
     p.add_argument("--cache-workers", type=int, default=0,
                    help="thread pool size for feature precompute IO")
+    p.add_argument("--drop-last", action="store_true",
+                   help="drop the leftover train batch (non-parity: the "
+                        "reference trains on it; avoids one jit shape)")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--text-dim", type=int, default=768)
@@ -182,6 +185,7 @@ def run_entry(preset_name: str, argv=None) -> dict:
             start_epoch=start_epoch,
             metrics_log_path=args.metrics_log or None,
             checkpoint_every=args.checkpoint_every,
+            drop_last=args.drop_last,
         )
         params = out["params"]
         results["train"] = {"losses": out["losses"]}

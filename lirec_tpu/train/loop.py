@@ -74,6 +74,7 @@ def train(
     metrics_log_path: Optional[str] = None,
     start_epoch: int = 0,
     checkpoint_every: int = 0,
+    drop_last: bool = False,
 ) -> Dict:
     """Run the epoch loop; returns {'params', 'opt_state', 'saver',
     'final_path'} (control flow: ref mlp/train.py:41-107)."""
@@ -90,7 +91,8 @@ def train(
     step = make_train_step(bundle, tx)
     saver = BestNSaver(path=cfg.paths.store_root, n=o.keep_best_n)
     iterator = BatchIterator(
-        train_dataset, o.batch_size, shuffle=True, seed=o.seed, dense=dense
+        train_dataset, o.batch_size, shuffle=True, seed=o.seed, dense=dense,
+        drop_last=drop_last,
     )
     base_rng = jax.random.PRNGKey(o.seed)
 
