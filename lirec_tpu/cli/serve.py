@@ -39,8 +39,15 @@ class InferenceEngine:
         self.topk = topk
         self.max_batch = max_batch
         self.tables = jax.tree.map(jnp.asarray, tables)
+        self.n_clip_rows = int(self.tables["text"].shape[0])
+        self.n_track_rows = int(self.tables["track"].shape[0])
+        spec = bundle.spec
+        # fixed request geometry: only the batch dim varies (bucketed), so
+        # the compiled-shape set stays bounded
+        self.n_hyps = 20 if spec.tr_maximize else 1
+        self.n_ctx = (18 + 1) if spec.ctx else 1
         self.embedded = jax.jit(
-            lambda p, tb: embed_all(p, bundle.spec, tb)
+            lambda p, tb: embed_all(p, spec, tb)
         )(bundle.params, self.tables)
         self._lock = threading.Lock()
 
@@ -52,13 +59,41 @@ class InferenceEngine:
                 tables=tables,
                 embedded=embedded,
             )
-            return out["inters"], out["rels"]
+            return out["inters"], out.get("rels")
 
         self._forward = forward
 
-    @staticmethod
-    def _bucket(n: int) -> int:
-        return 1 << max(0, (n - 1)).bit_length()
+    def _bucket(self, n: int) -> int:
+        return min(1 << max(0, (n - 1)).bit_length(), self.max_batch)
+
+    def _validate(self, feat_idx: np.ndarray, rels_mask: np.ndarray) -> None:
+        if self.bundle.spec.tr_maximize:
+            expect = (self.n_hyps, self.n_ctx, 3)
+            mask_expect = (self.n_hyps, self.n_ctx - 1)
+        else:
+            expect = (self.n_ctx, 3)
+            mask_expect = (self.n_ctx - 1,)
+        if feat_idx.shape[1:] != expect:
+            raise ValueError(
+                "feat_idx must be [B, %s] for this preset; got %s"
+                % (", ".join(map(str, expect)), feat_idx.shape)
+            )
+        if self.n_ctx > 1 and rels_mask.shape[1:] != mask_expect:
+            raise ValueError(
+                "rels_mask must be [B, %s]; got %s"
+                % (", ".join(map(str, mask_expect)), rels_mask.shape)
+            )
+        # XLA gathers clamp out-of-range indices silently; reject instead
+        clip = feat_idx[..., 0]
+        trk = feat_idx[..., 1:]
+        if clip.min() < 0 or clip.max() >= self.n_clip_rows:
+            raise ValueError(
+                "clip index out of range [0, %d)" % self.n_clip_rows
+            )
+        if trk.min() < 0 or trk.max() >= self.n_track_rows:
+            raise ValueError(
+                "track index out of range [0, %d)" % self.n_track_rows
+            )
 
     def predict(self, feat_idx: np.ndarray, rels_mask: np.ndarray):
         """feat_idx [B, T, 1+R, 3]; rels_mask [B, T, R] -> per-sample topk."""
@@ -67,6 +102,7 @@ class InferenceEngine:
         B = feat_idx.shape[0]
         if B > self.max_batch:
             raise ValueError("batch too large: %d > %d" % (B, self.max_batch))
+        self._validate(feat_idx, rels_mask)
         padded = self._bucket(B)
         if padded != B:
             feat_idx = np.concatenate(
@@ -82,8 +118,12 @@ class InferenceEngine:
                 self.bundle.params, feat_idx, rels_mask, self.tables,
                 self.embedded,
             )
-        inters = np.asarray(inters, np.float64)[:B]  # [B, T, C]
+        inters = np.asarray(inters, np.float64)[:B]
         rels = np.asarray(rels, np.float64)[:B] if rels is not None else None
+        if inters.ndim == 2:  # non-maxtracks presets: [B, C] -> [B, 1, C]
+            inters = inters[:, None, :]
+            if rels is not None:
+                rels = rels[:, None, :]
 
         def sigmoid(x):
             return 1.0 / (1.0 + np.exp(-np.clip(x, -500, 500)))
@@ -104,7 +144,7 @@ class InferenceEngine:
                 ],
             }
             if rels is not None:
-                s_r = sigmoid(rels[b])[best_track]
+                s_r = sigmoid(rels[b])[min(best_track, rels.shape[1] - 1)]
                 top_r = np.argsort(-s_r)[: self.topk]
                 item["relationships"] = [
                     {"label": int(i), "score": round(float(s_r[i]), 6)}
@@ -149,18 +189,23 @@ def make_handler(engine: InferenceEngine):
                 feat_idx = np.asarray(
                     [s["feat_idx"] for s in samples], np.int32
                 )
-                rels_mask = np.asarray(
-                    [s["rels_mask"] for s in samples], np.int32
-                )
-                if feat_idx.ndim != 4 or feat_idx.shape[-1] != 3:
+                if all("rels_mask" in s for s in samples):
+                    rels_mask = np.asarray(
+                        [s["rels_mask"] for s in samples], np.int32
+                    )
+                else:  # context-free presets don't need a mask
+                    rels_mask = np.zeros((len(samples), 1), np.int32)
+                if feat_idx.ndim not in (3, 4) or feat_idx.shape[-1] != 3:
                     raise ValueError(
-                        "feat_idx must be [T, 1+R, 3] per sample; got %s"
-                        % (feat_idx.shape,)
+                        "feat_idx must be [T, 1+R, 3] (maxtracks presets) or "
+                        "[1+R, 3] per sample; got %s" % (feat_idx.shape,)
                     )
                 results = engine.predict(feat_idx, rels_mask)
                 self._send(200, {"predictions": results})
             except (KeyError, ValueError, TypeError) as err:
                 self._send(400, {"error": str(err)})
+            except Exception as err:  # runtime/XLA errors -> clean 500
+                self._send(500, {"error": "%s: %s" % (type(err).__name__, err)})
 
     return Handler
 

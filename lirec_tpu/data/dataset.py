@@ -844,6 +844,8 @@ class InteractionDataset:
         the sample contract is deterministic given the dataset's RNG
         stream, mirroring the reference's seed-once-then-iterate behavior.
         """
+        if rng is not None:
+            cache = False  # an explicit RNG always means fresh draws
         if cache and getattr(self, "_materialized", None) is not None:
             return self._materialized
         from lirec_tpu.data.pipeline import collate

@@ -95,7 +95,8 @@ class BatchIterator:
         # Python assembly (train mode needs fresh per-epoch randomness)
         materialized = None
         if (
-            not self.shuffle
+            len(order) > 0
+            and not self.shuffle
             and not self.dense
             and getattr(self.dataset, "mode", "train") != "train"
             and hasattr(self.dataset, "materialize")

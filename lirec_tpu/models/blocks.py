@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from lirec_tpu.models.layers import DropoutRng, dropout, init_linear, linear
 
-__all__ = ["FeatSlices", "slices_from_dense", "slices_from_tables",
+__all__ = ["FeatSlices", "slices_from_dense",
            "init_modality_mlps", "modality_embed", "gate_apply", "init_gate"]
 
 
@@ -38,17 +38,6 @@ def slices_from_dense(features: jnp.ndarray, spec) -> FeatSlices:
         visual=features[..., t : t + v],
         track1=features[..., t + v : t + v + k],
         track2=features[..., t + v + k :],
-    )
-
-
-def slices_from_tables(tables: Dict[str, jnp.ndarray], feat_idx: jnp.ndarray) -> FeatSlices:
-    """Gather per-modality rows for index triples [..., 3] on device."""
-    clip = feat_idx[..., 0]
-    return FeatSlices(
-        text=tables["text"][clip],
-        visual=tables["visual"][clip],
-        track1=tables["track"][feat_idx[..., 1]],
-        track2=tables["track"][feat_idx[..., 2]],
     )
 
 

@@ -199,9 +199,14 @@ def modalities_hybrid(
         parts.append(branch("txt_ints", "txt2_ints", tables["text"], 0))
     if spec.modality in ("m", "v"):
         parts.append(branch("vis_ints", "vis2_ints", tables["visual"], 0))
-    if spec.tracks and spec.modality == "m":
-        parts.append(branch("tracks1_ints", "tracks12_ints", tables["track"], 1))
-        parts.append(branch("tracks2_ints", "tracks22_ints", tables["track"], 2))
+    if spec.tracks:
+        # computed whenever tracks are on — even for 't'/'v', where the
+        # result is discarded — to keep the DropoutRng stream aligned with
+        # the dense path (ref model.py:70-76 computes the branch too)
+        tr1 = branch("tracks1_ints", "tracks12_ints", tables["track"], 1)
+        tr2 = branch("tracks2_ints", "tracks22_ints", tables["track"], 2)
+        if spec.modality == "m":
+            parts += [tr1, tr2]
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
     out = dropout(jnp.tanh(out), p, drop, deterministic)
     return {"inters": linear(params["out_ints"], out, cdt)}

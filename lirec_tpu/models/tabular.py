@@ -35,14 +35,6 @@ class EmbeddedTables(NamedTuple):
     tr1: jnp.ndarray  # [n_tracks, joint//2]
     tr2: jnp.ndarray  # [n_tracks, joint//2]
 
-    @property
-    def txt(self) -> jnp.ndarray:
-        return self.clip[:, : self.clip.shape[1] // 2]
-
-    @property
-    def vis(self) -> jnp.ndarray:
-        return self.clip[:, self.clip.shape[1] // 2:]
-
 
 def _two_layer(params, n1, n2, x, cdt):
     h = linear(params[n1], x, cdt)

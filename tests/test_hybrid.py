@@ -71,3 +71,34 @@ def test_hybrid_matches_dense(preset, deterministic):
             atol=2e-5, rtol=1e-5,
             err_msg="%s/%s det=%s" % (preset, key, deterministic),
         )
+
+
+def test_hybrid_dropout_stream_text_modality():
+    """Text-only Modalities: hybrid and dense paths share the dropout
+    stream. (NOTE: modality 't'/'v' WITH tracks is head-incompatible in the
+    reference itself — Modalities.__init__ sizes out_ints for the track
+    branch that forward never concatenates (ref model.py:39-50,78-86) — so
+    both paths here raise the same shape error on that config.)"""
+    import jax.numpy as jnp
+
+    cfg = _cfg("modalities").with_tasks(modality="t", tracks=False)
+    bundle = create_model(cfg, 9)
+    raw_tables = make_tables(bundle.spec, 32, 48, seed=11)
+    tables = {k: jnp.asarray(v) for k, v in raw_tables.items()}
+    batch = make_batch(bundle.spec, 5, 32, 48, seed=12)
+    batch["feat_idx"] = batch["feat_idx"][:, 0, :1, :]
+    mb = {"feat_idx": batch["feat_idx"]}
+    rng = jax.random.PRNGKey(7)
+    hybrid = apply_model(
+        bundle.params, bundle.spec, mb, tables=tables,
+        deterministic=False, rng=rng, use_tabular=False,
+    )
+    dense_feats = _dense_from_packed(raw_tables, np.asarray(batch["feat_idx"]))
+    dense = apply_model(
+        bundle.params, bundle.spec, {"features": dense_feats},
+        deterministic=False, rng=rng,
+    )
+    np.testing.assert_allclose(
+        np.asarray(hybrid["inters"]), np.asarray(dense["inters"]),
+        atol=2e-5, rtol=1e-5,
+    )

@@ -89,3 +89,54 @@ def test_predict_bad_requests(server):
     assert status == 400
     status, payload = _post(base + "/missing", {})
     assert status == 404
+
+
+def test_serve_non_maxtracks_preset():
+    """int_rels preset (no hypothesis axis) must serve too (regression:
+    the engine assumed [B, T, C] outputs)."""
+    from lirec_tpu.cli.serve import InferenceEngine
+
+    cfg = config_lib.preset("int_rels", data_root="/tmp/x")
+    cfg = cfg.with_dims(text_dim=16, visual_dim=32, joint_dim=16)
+    cfg = cfg.with_runtime(compute_dtype="float32")
+    bundle = create_model(cfg, 9, n_rels=6)
+    tables = make_tables(bundle.spec, 32, 48, seed=3)
+    engine = InferenceEngine(bundle, tables, topk=2, max_batch=8)
+    batch = make_batch(bundle.spec, 2, 32, 48, seed=4)
+    feat_idx = np.asarray(batch["feat_idx"][:, 0])  # [B, 1+R, 3]
+    rels_mask = np.asarray(batch["rels_mask"][:, 0])  # [B, R]
+    out = engine.predict(feat_idx, rels_mask)
+    assert len(out) == 2 and len(out[0]["interactions"]) == 2
+    assert out[0]["best_track"] == 0
+
+
+def test_serve_rejects_bad_geometry_and_indices(server):
+    base, bundle = server
+    batch = make_batch(bundle.spec, 1, 32, 48, seed=5)
+    good = {
+        "feat_idx": batch["feat_idx"][0].tolist(),
+        "rels_mask": batch["rels_mask"][0].tolist(),
+    }
+    # out-of-range table index -> 400, not silent clamping
+    bad = json.loads(json.dumps(good))
+    bad["feat_idx"][0][0][0] = 10**9
+    status, payload = _post(base + "/predict", {"samples": [bad]})
+    assert status == 400 and "out of range" in payload["error"]
+    # wrong context length -> 400
+    bad2 = json.loads(json.dumps(good))
+    bad2["feat_idx"] = [row[:5] for row in bad2["feat_idx"]]
+    status, payload = _post(base + "/predict", {"samples": [bad2]})
+    assert status == 400
+
+
+def test_bucket_never_exceeds_max_batch():
+    from lirec_tpu.cli.serve import InferenceEngine
+
+    cfg = config_lib.preset("int_rel_ch", data_root="/tmp/x")
+    cfg = cfg.with_dims(text_dim=16, visual_dim=32, joint_dim=16)
+    cfg = cfg.with_runtime(compute_dtype="float32")
+    bundle = create_model(cfg, 9, n_rels=6)
+    engine = InferenceEngine(
+        bundle, make_tables(bundle.spec, 32, 48), max_batch=6
+    )
+    assert engine._bucket(5) == 6  # clamped, not 8
