@@ -216,13 +216,16 @@ class MetricAccumulator:
         hit1 = has2 & ~hit0 & (pr_track == g1)
         self._trks_top1 += int((nz & hit0).sum()) + int((nz & hit1).sum())
 
-        # joint (track, class, rel) argmax over the tiled sum (ref :229-235)
-        tiled = s_cl[:, :, :, None] + s_rl[:, :, None, :]  # [B,T,C,R1]
-        flat = tiled.reshape(B, -1)
-        arg = np.argmax(flat, axis=1)
-        t_star = arg // (C * R1)
-        c_star = (arg % (C * R1)) // R1
-        r_star = (arg % (C * R1)) % R1
+        # joint (track, class, rel) argmax (ref :229-235 materializes the
+        # [B,T,C,R] tiled sum — ~165 MB/batch at real dims). The sum is
+        # separable, so it decomposes exactly, ties included: the flattened
+        # argmax is t-major then c then r, and within a track the first
+        # lexicographic maximizing (c, r) is (argmax_c, argmax_r).
+        max_c = s_cl.max(axis=2)  # [B, T]
+        max_r = s_rl.max(axis=2)  # [B, T]
+        t_star = np.argmax(max_c + max_r, axis=1)
+        c_star = np.argmax(s_cl[rows, t_star, :], axis=1)
+        r_star = np.argmax(s_rl[rows, t_star, :], axis=1)
         jmatch = (c_star == gt_classes) & (r_star == rel0)
         joint0 = jmatch & (t_star == g0)
         joint1 = has2 & ~hit0 & jmatch & (t_star == g1)
