@@ -231,6 +231,68 @@ class MetricAccumulator:
         joint1 = has2 & ~hit0 & jmatch & (t_star == g1)
         self._top1 += int((nz & joint0).sum()) + int((nz & joint1).sum())
 
+    # -- counting from device-side predictions ----------------------------
+
+    def update_from_predictions(
+        self,
+        preds: Dict[str, np.ndarray],
+        gt_classes: np.ndarray,
+        gt_tracks: np.ndarray,
+        just_zeros: np.ndarray,
+        gt_rels: Optional[np.ndarray] = None,
+        rels_sample_idx: Optional[np.ndarray] = None,
+    ) -> None:
+        """Same counters as update_probs_max_tracks[_rels], fed by the
+        argmaxes computed on device (evaluation/device_metrics.py)."""
+        gt_classes = np.asarray(gt_classes).astype(int).reshape(-1)
+        gt_tracks = np.asarray(gt_tracks).astype(int)
+        nz = ~np.asarray(just_zeros).astype(bool)
+        B = len(gt_classes)
+        rows = np.arange(B)
+        g0, g1 = gt_tracks[:, 0], gt_tracks[:, 1]
+        has2 = g1 != 0
+        cls_argmax = np.asarray(preds["cls_argmax"]).astype(int)
+        pr_track = np.asarray(preds["pr_track"]).astype(int)
+        t_star = np.asarray(preds["t_star"]).astype(int)
+        c_star = np.asarray(preds["c_star"]).astype(int)
+
+        self.total += int(nz.sum())
+        self.total_cl += B
+
+        l0 = cls_argmax[rows, g0]
+        l1 = cls_argmax[rows, g1]
+        correct0 = l0 == gt_classes
+        self._cls_top1 += int(correct0.sum())
+        self._cls_top1 += int((~correct0 & (l1 == gt_classes)).sum())
+
+        if gt_rels is not None and rels_sample_idx is not None:
+            gt_rels = np.asarray(gt_rels).astype(int)
+            ridx = np.asarray(rels_sample_idx).astype(int).reshape(-1)
+            K = len(ridx)
+            self.total_rels += K
+            if K:
+                rels_argmax = np.asarray(preds["rels_argmax"]).astype(int)
+                rg0, rg1 = g0[ridx], g1[ridx]
+                p0 = rels_argmax[ridx, rg0]
+                p1 = rels_argmax[ridx, rg1]
+                gt_now0 = gt_rels[ridx, rg0]
+                gt_now1 = gt_rels[ridx, rg1]
+                rcorrect0 = p0 == gt_now0
+                self._rels_top1 += int(rcorrect0.sum())
+                self._rels_top1 += int((~rcorrect0 & (p1 == gt_now1)).sum())
+
+        hit0 = pr_track == g0
+        hit1 = has2 & ~hit0 & (pr_track == g1)
+        self._trks_top1 += int((nz & hit0).sum()) + int((nz & hit1).sum())
+
+        jmatch = c_star == gt_classes
+        if gt_rels is not None:
+            r_star = np.asarray(preds["r_star"]).astype(int)
+            jmatch = jmatch & (r_star == gt_rels[rows, 0])
+        joint0 = jmatch & (t_star == g0)
+        joint1 = has2 & ~hit0 & jmatch & (t_star == g1)
+        self._top1 += int((nz & joint0).sum()) + int((nz & joint1).sum())
+
     # -- accessors (ref evaluation.py:329-363) ---------------------------
 
     def top1(self) -> float:

@@ -137,9 +137,24 @@ def evaluate(
     def _step(p, b, tb, emb):
         model_batch = {k: b[k] for k in model_keys if k in b}
         out = bundle.apply(p, model_batch, tables=tb, embedded=emb)
+        preds = None
+        if t.tr_maximize and t.ints:
+            from lirec_tpu.evaluation.device_metrics import (
+                grounding_predictions,
+            )
+
+            # metric argmaxes on device: a few small vectors come back
+            # instead of [B, T, C(+R)] logits
+            preds = grounding_predictions(
+                out["inters"],
+                b["mem_mask"],
+                b["labels"],
+                pr_probs_rels=out["rels"] if t.ctx else None,
+                gt_rels=b["rels_label"] if t.ctx else None,
+            )
         # fixed key: only tr_cat_distr-style losses sample, and eval uses a
         # deterministic draw
-        return out, bundle.loss(out, b, rng=jax.random.PRNGKey(0))
+        return out, bundle.loss(out, b, rng=jax.random.PRNGKey(0)), preds
 
     step_fn = jit_apply or jax.jit(_step)
 
@@ -152,13 +167,16 @@ def evaluate(
     in_flight = collections.deque()
 
     def _drain_one():
-        batch, outputs, loss = in_flight.popleft()
+        batch, outputs, loss, preds = in_flight.popleft()
+        losses.append(float(loss))
+        if preds is not None:
+            preds = {k: np.asarray(v) for k, v in preds.items()}
+            return batch, None, preds
         outputs = {
             k: (np.asarray(v) if v is not None else None)
             for k, v in outputs.items()
         }
-        losses.append(float(loss))
-        return batch, outputs
+        return batch, outputs, None
 
     def _batches():
         for batch in it:
@@ -172,7 +190,7 @@ def evaluate(
         while in_flight:
             yield _drain_one()
 
-    for batch, outputs in _batches():
+    for batch, outputs, preds in _batches():
 
         if t.soft_gt:
             conf_mat = prec.update_probs(
@@ -183,11 +201,10 @@ def evaluate(
             )
         elif t.tr_maximize:
             if t.ints and not t.ctx:
-                prec.update_probs_max_tracks(
-                    outputs["inters"],
-                    gt_tracks=batch["gt_tracks"],
+                prec.update_from_predictions(
+                    preds,
                     gt_classes=batch["labels"],
-                    mask=batch["mem_mask"],
+                    gt_tracks=batch["gt_tracks"],
                     just_zeros=batch["just_zeros"],
                 )
             elif t.ints and t.ctx:
@@ -196,14 +213,12 @@ def evaluate(
                 ridx = np.nonzero(
                     batch["rels_label"][:, 0] - n_rels + 1
                 )[0]
-                prec.update_probs_max_tracks_rels(
-                    outputs["inters"],
-                    outputs["rels"],
+                prec.update_from_predictions(
+                    preds,
                     gt_classes=batch["labels"],
-                    gt_rels=batch["rels_label"],
                     gt_tracks=batch["gt_tracks"],
-                    mask=batch["mem_mask"],
                     just_zeros=batch["just_zeros"],
+                    gt_rels=batch["rels_label"],
                     rels_sample_idx=ridx,
                 )
         elif t.rels_multitask:

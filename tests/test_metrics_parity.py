@@ -175,3 +175,51 @@ def test_relationships_acc_parity(ref_eval):
     assert mine.top1() == ref_acc.top1()
     assert mine.top3() == ref_acc.top3()
     np.testing.assert_array_equal(mine.conf_mat, ref_acc.conf_mat)
+
+
+@pytest.mark.parametrize("with_rels", [False, True])
+def test_device_predictions_match_host_counters(ref_eval, with_rels):
+    """grounding_predictions + update_from_predictions must produce the same
+    counters as the host update_probs_max_tracks[_rels]."""
+    from lirec_tpu.evaluation.device_metrics import grounding_predictions
+    from lirec_tpu.evaluation.metrics import MetricAccumulator
+
+    rng = np.random.default_rng(7)
+    R = 6
+    host = MetricAccumulator(n_rels=R + 1)
+    dev = MetricAccumulator(n_rels=R + 1)
+    for _ in range(6):
+        logits, rels, mask, gt_tracks, gt_classes, gt_rels, just_zeros = (
+            _random_grounding_batch(rng, R=R)
+        )
+        ridx = np.nonzero(gt_rels[:, 0] - (R + 1) + 1)[0]
+        preds = grounding_predictions(
+            logits.astype(np.float32),
+            mask,
+            gt_classes,
+            pr_probs_rels=rels.astype(np.float32) if with_rels else None,
+            gt_rels=gt_rels if with_rels else None,
+        )
+        preds = {k: np.asarray(v) for k, v in preds.items()}
+        if with_rels:
+            host.update_probs_max_tracks_rels(
+                logits, rels, gt_classes=gt_classes, gt_rels=gt_rels,
+                gt_tracks=gt_tracks, mask=mask, just_zeros=just_zeros,
+                rels_sample_idx=ridx,
+            )
+            dev.update_from_predictions(
+                preds, gt_classes=gt_classes, gt_tracks=gt_tracks,
+                just_zeros=just_zeros, gt_rels=gt_rels, rels_sample_idx=ridx,
+            )
+        else:
+            host.update_probs_max_tracks(
+                logits, gt_tracks, gt_classes, mask=mask,
+                just_zeros=just_zeros,
+            )
+            dev.update_from_predictions(
+                preds, gt_classes=gt_classes, gt_tracks=gt_tracks,
+                just_zeros=just_zeros,
+            )
+    for attr in ("_top1", "_trks_top1", "_cls_top1", "_rels_top1", "total",
+                 "total_cl", "total_rels"):
+        assert getattr(host, attr) == getattr(dev, attr), attr
