@@ -70,3 +70,27 @@ def test_pth_tar_roundtrip(tmp_path):
         ref_out["rels"].numpy(),
         atol=2e-5, rtol=1e-4,
     )
+
+
+def test_convert_checkpoint_cli(tmp_path):
+    import torch
+
+    from lirec_tpu.checkpoint import load_params
+    from lirec_tpu.cli.convert_checkpoint import main
+
+    cfg = config_lib.preset("modalities", data_root="/tmp/x")
+    cfg = cfg.with_dims(text_dim=TEXT, visual_dim=VIS, joint_dim=JOINT)
+    bundle = create_model(cfg.with_runtime(compute_dtype="float32"), 7)
+    sd = {}
+    for name, leaf in bundle.params.items():
+        sd[name + ".weight"] = torch.tensor(np.asarray(leaf["kernel"]).T)
+        sd[name + ".bias"] = torch.tensor(np.asarray(leaf["bias"]))
+    src = str(tmp_path / "m.pth.tar")
+    torch.save({"epoch": 3, "state_dict": sd}, src)
+    dst = str(tmp_path / "m.ckpt")
+    main(["--src", src, "--dst", dst])
+    restored = load_params(dst, template=bundle.params)
+    for name, leaf in bundle.params.items():
+        np.testing.assert_allclose(
+            np.asarray(restored[name]["kernel"]), np.asarray(leaf["kernel"])
+        )
