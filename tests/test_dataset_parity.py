@@ -138,3 +138,58 @@ def test_parallel_cache_matches_sequential(synth_root):
     np.testing.assert_array_equal(a.tables.track, b.tables.track)
     assert a.tables._clip_index == b.tables._clip_index
     assert a.tables._track_index == b.tables._track_index
+
+
+def test_parity_raw_classes_unmerged(synth_root):
+    """merged=False (raw interaction classes) keeps sample parity, including
+    the merged-indexed multilab_weights quirk (ref :592-601)."""
+    cfg = _preset_cfg(synth_root, "int_ch").with_tasks(merged=False)
+    bridge.import_reference()
+    bridge.write_mg_pickle(cfg)
+    bridge.configure_opt(cfg)
+    ref = bridge.import_reference()
+    with bridge.first_element_choice():
+        ref_ds = ref.dataset.MixedFeaturesDataset(mode="val")
+        ref_ds.cache()
+        mine = InteractionDataset(cfg, mode="val", label_chooser=first_choice)
+        mine.cache()
+        assert mine.n_classes == ref_ds.n_classes > 7  # raw, not merged
+        for i in range(len(mine)):
+            rs = ref_ds[i]
+            ms = mine.to_dense(mine.__getitem__(i))
+            for key in ("features", "labels", "mem_mask", "gt_tracks",
+                        "multilab_weights", "multilab_weights_axl"):
+                np.testing.assert_allclose(
+                    np.asarray(ms[key], np.float64),
+                    np.asarray(rs[key], np.float64),
+                    atol=1e-5, err_msg="sample %d key %r" % (i, key),
+                )
+
+
+def test_parity_sanity_class_subset(synth_root):
+    """inter_class='m' (sanity-check subset) keeps sample parity, including
+    the local-index label space and class-filtered soft labels."""
+    cfg = _preset_cfg(synth_root, "modalities")
+    cfg = cfg.with_tasks(inter_class="m").with_runtime(sanity_check=False)
+    bridge.import_reference()
+    bridge.write_mg_pickle(cfg)
+    bridge.configure_opt(cfg)
+    ref = bridge.import_reference()
+    with bridge.first_element_choice():
+        ref_ds = ref.dataset.MixedFeaturesDataset(mode="val")
+        ref_ds.cache()
+        mine = InteractionDataset(cfg, mode="val", label_chooser=first_choice)
+        mine.cache()
+        assert len(mine) == len(ref_ds) > 0
+        for i in range(len(mine)):
+            rs = ref_ds[i]
+            ms = mine.to_dense(mine.__getitem__(i))
+            for key in ("features", "labels", "multilab_weights",
+                        "soft_labels"):
+                if key not in rs:
+                    continue
+                np.testing.assert_allclose(
+                    np.asarray(ms[key], np.float64),
+                    np.asarray(rs[key], np.float64),
+                    atol=1e-5, err_msg="sample %d key %r" % (i, key),
+                )
