@@ -30,8 +30,15 @@ def main(argv=None):
         % (args.src, args.dst, len(params), n_arrays, meta.get("epoch")),
         file=sys.stderr,
     )
-    return params
+    return {"layers": len(params), "epoch": meta.get("epoch")}
 
 
 if __name__ == "__main__":
     main()
+
+
+def script() -> int:
+    """Console-script wrapper: main() returns data for programmatic use;
+    setuptools wrappers sys.exit() the return value, so exit 0 here."""
+    main()
+    return 0

@@ -182,3 +182,10 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def script() -> int:
+    """Console-script wrapper: main() returns data for programmatic use;
+    setuptools wrappers sys.exit() the return value, so exit 0 here."""
+    main()
+    return 0

@@ -24,9 +24,23 @@ import numpy as np
 
 
 def _sigmoid(x: np.ndarray) -> np.ndarray:
-    out = np.empty_like(x, dtype=np.float64)
-    np.clip(x, -500, 500, out=out)
+    """Sigmoid preserving the input float dtype.
+
+    The reference's scipy `expit` keeps float32 (its logits arrive as torch
+    float32), so float32 saturation/tie behavior is part of bug-for-bug
+    parity — and it is what the device-side metric path (float32 on TPU)
+    produces too. float64 inputs (tests) stay float64.
+    """
+    dtype = x.dtype if np.issubdtype(x.dtype, np.floating) else np.float64
+    out = np.clip(x, -500, 500).astype(dtype)
     return 1.0 / (1.0 + np.exp(-out))
+
+
+def _float_copy(x: np.ndarray) -> np.ndarray:
+    """Writable float copy preserving float32/float64."""
+    x = np.asarray(x)
+    dtype = x.dtype if np.issubdtype(x.dtype, np.floating) else np.float64
+    return np.array(x, dtype=dtype)
 
 
 class MetricAccumulator:
@@ -107,7 +121,7 @@ class MetricAccumulator:
         mask: np.ndarray,
         just_zeros: np.ndarray,
     ) -> None:
-        logits = np.array(pr_probs, dtype=np.float64)
+        logits = _float_copy(pr_probs)
         gt_tracks = np.asarray(gt_tracks).astype(int)
         gt_classes = np.asarray(gt_classes).astype(int).reshape(-1)
         mask = np.asarray(mask).astype(bool)
@@ -161,8 +175,8 @@ class MetricAccumulator:
     ) -> None:
         """rels_sample_idx: indices of samples whose GT-slot relationship is
         not 'None' (the reference's `rels_mask` nonzero tensor)."""
-        cl = np.array(pr_probs_cl, dtype=np.float64)
-        rl = np.array(pr_probs_rels, dtype=np.float64)
+        cl = _float_copy(pr_probs_cl)
+        rl = _float_copy(pr_probs_rels)
         gt_tracks = np.asarray(gt_tracks).astype(int)
         gt_classes = np.asarray(gt_classes).astype(int).reshape(-1)
         gt_rels = np.asarray(gt_rels).astype(int)  # [B, T]
@@ -184,8 +198,9 @@ class MetricAccumulator:
 
         s_cl = _sigmoid(cl)
         # 'None' column appended AFTER the sigmoid -> its score is 0 (ref :220)
+        s = _sigmoid(rl)
         s_rl = np.concatenate(
-            [_sigmoid(rl), np.zeros((B, T, 1))], axis=2
+            [s, np.zeros((B, T, 1), s.dtype)], axis=2
         )
         R1 = s_rl.shape[2]
         rel0 = gt_rels[rows, 0]  # GT-slot relationship label (ref :200)
@@ -406,7 +421,7 @@ class RelationshipsAcc:
         self.conf_mat = np.zeros((n_rels, n_rels))
 
     def update(self, pr_probs: np.ndarray, gt: np.ndarray, hashes) -> None:
-        pr_probs = _sigmoid(np.asarray(pr_probs, dtype=np.float64))
+        pr_probs = _sigmoid(_float_copy(pr_probs))
         gt = np.asarray(gt).astype(int).reshape(-1)
         hashes = np.asarray(hashes).astype(int).reshape(-1)
         assert len(pr_probs) == len(gt)

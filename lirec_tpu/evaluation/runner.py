@@ -138,7 +138,8 @@ def evaluate(
         model_batch = {k: b[k] for k in model_keys if k in b}
         out = bundle.apply(p, model_batch, tables=tb, embedded=emb)
         preds = None
-        if t.tr_maximize and t.ints:
+        if t.tr_maximize and t.ints and not t.soft_gt:
+            # (soft_gt needs the raw logits on host; its branch runs first)
             from lirec_tpu.evaluation.device_metrics import (
                 grounding_predictions,
             )
@@ -156,6 +157,9 @@ def evaluate(
         # deterministic draw
         return out, bundle.loss(out, b, rng=jax.random.PRNGKey(0)), preds
 
+    # jit_apply contract: (params, batch, tables, embedded) ->
+    # (outputs, loss, device_predictions_or_None); preds=None falls back to
+    # the host metric accumulators below.
     step_fn = jit_apply or jax.jit(_step)
 
     # Bounded pipeline: keep a few batches in flight so device compute
@@ -182,9 +186,10 @@ def evaluate(
         for batch in it:
             if len(np.atleast_1d(batch["labels"])) == 1:
                 continue  # ref test.py:38-39
-            in_flight.append(
-                (batch,) + tuple(step_fn(params, batch, tables, embedded))
-            )
+            result = step_fn(params, batch, tables, embedded)
+            if len(result) == 2:  # legacy 2-tuple jit_apply
+                result = result + (None,)
+            in_flight.append((batch,) + tuple(result))
             if len(in_flight) >= PIPELINE_DEPTH:
                 yield _drain_one()
         while in_flight:
@@ -201,26 +206,47 @@ def evaluate(
             )
         elif t.tr_maximize:
             if t.ints and not t.ctx:
-                prec.update_from_predictions(
-                    preds,
-                    gt_classes=batch["labels"],
-                    gt_tracks=batch["gt_tracks"],
-                    just_zeros=batch["just_zeros"],
-                )
+                if preds is not None:
+                    prec.update_from_predictions(
+                        preds,
+                        gt_classes=batch["labels"],
+                        gt_tracks=batch["gt_tracks"],
+                        just_zeros=batch["just_zeros"],
+                    )
+                else:  # host fallback (custom jit_apply without preds)
+                    prec.update_probs_max_tracks(
+                        outputs["inters"],
+                        gt_tracks=batch["gt_tracks"],
+                        gt_classes=batch["labels"],
+                        mask=batch["mem_mask"],
+                        just_zeros=batch["just_zeros"],
+                    )
             elif t.ints and t.ctx:
                 # samples whose GT-slot relationship is labeled
                 # (ref test.py:62)
                 ridx = np.nonzero(
                     batch["rels_label"][:, 0] - n_rels + 1
                 )[0]
-                prec.update_from_predictions(
-                    preds,
-                    gt_classes=batch["labels"],
-                    gt_tracks=batch["gt_tracks"],
-                    just_zeros=batch["just_zeros"],
-                    gt_rels=batch["rels_label"],
-                    rels_sample_idx=ridx,
-                )
+                if preds is not None:
+                    prec.update_from_predictions(
+                        preds,
+                        gt_classes=batch["labels"],
+                        gt_tracks=batch["gt_tracks"],
+                        just_zeros=batch["just_zeros"],
+                        gt_rels=batch["rels_label"],
+                        rels_sample_idx=ridx,
+                    )
+                else:
+                    prec.update_probs_max_tracks_rels(
+                        outputs["inters"],
+                        outputs["rels"],
+                        gt_classes=batch["labels"],
+                        gt_rels=batch["rels_label"],
+                        gt_tracks=batch["gt_tracks"],
+                        mask=batch["mem_mask"],
+                        just_zeros=batch["just_zeros"],
+                        rels_sample_idx=ridx,
+                    )
         elif t.rels_multitask:
             if t.ints:
                 bs = len(batch["labels"])

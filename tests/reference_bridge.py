@@ -238,3 +238,30 @@ class first_element_choice:
 
         np.random.choice = self._orig
         return False
+
+
+def transplant_params(ref, cfg, n_classes, n_rels, params, train_mode=False):
+    """Fresh reference torch model with a lirec_tpu params pytree loaded
+    (kernel transposition + the gates_ints.fc_out flattening)."""
+    import numpy as np
+    import torch
+
+    configure_opt(cfg)
+    if cfg.tasks.mod_check:
+        model = import_reference().model.Modalities(n_classes=n_classes)
+    elif cfg.tasks.tr_maximize:
+        model = import_reference().model.MidFusionMultiClipMaxTracks(
+            n_classes=n_classes, n_rels=n_rels
+        )
+    else:
+        model = import_reference().model.MidFusionMultiClip(
+            n_classes=n_classes, n_rels=n_rels
+        )
+    sd = model.state_dict()
+    for name in list(sd):
+        base, kind = name.rsplit(".", 1)
+        key = "gates_ints" if base == "gates_ints.fc_out" else base
+        arr = np.asarray(params[key]["kernel" if kind == "weight" else "bias"])
+        sd[name] = torch.tensor(arr.T if kind == "weight" else arr)
+    model.load_state_dict(sd)
+    return model.train() if train_mode else model.eval()

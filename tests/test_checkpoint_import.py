@@ -94,3 +94,11 @@ def test_convert_checkpoint_cli(tmp_path):
         np.testing.assert_allclose(
             np.asarray(restored[name]["kernel"]), np.asarray(leaf["kernel"])
         )
+        np.testing.assert_allclose(
+            np.asarray(restored[name]["bias"]), np.asarray(leaf["bias"])
+        )
+    from flax import serialization
+
+    with open(dst, "rb") as f:
+        tree = serialization.msgpack_restore(f.read())
+    assert tree["extra"]["epoch"] == 3

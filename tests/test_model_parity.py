@@ -28,27 +28,8 @@ def _cfg(preset_name, **kw):
 
 def _torch_model(cfg, n_classes, n_rels, params):
     """Fresh reference model with our params transplanted."""
-    import torch
-
-    bridge.configure_opt(cfg)
     ref = bridge.import_reference()
-    if cfg.tasks.mod_check:
-        model = ref.model.Modalities(n_classes=n_classes)
-    elif cfg.tasks.tr_maximize:
-        model = ref.model.MidFusionMultiClipMaxTracks(
-            n_classes=n_classes, n_rels=n_rels
-        )
-    else:
-        model = ref.model.MidFusionMultiClip(n_classes=n_classes, n_rels=n_rels)
-    sd = model.state_dict()
-    for name in list(sd):
-        base, kind = name.rsplit(".", 1)
-        key = "gates_ints" if base == "gates_ints.fc_out" else base
-        arr = np.asarray(params[key]["kernel" if kind == "weight" else "bias"])
-        sd[name] = torch.tensor(arr.T if kind == "weight" else arr)
-    model.load_state_dict(sd)
-    model.eval()
-    return model
+    return bridge.transplant_params(ref, cfg, n_classes, n_rels, params)
 
 
 def _compare(mine, theirs, atol=2e-5):
