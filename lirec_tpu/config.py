@@ -206,6 +206,9 @@ class Runtime:
     model_axis: str = "model"
     mesh_shape: Tuple[int, ...] = (1, 1)  # (data, model)
     use_native_ingest: bool = True  # C++ host ops when available
+    # 'rbg' PRNG generates dropout masks ~6x faster on TPU (train step
+    # 9.6 -> 8.0 ms at B=64); different stream than the default threefry
+    fast_prng: bool = False
 
 
 @dataclass(frozen=True)
