@@ -47,3 +47,17 @@ def test_modalities_train_smoke(synth_root, tmp_path):
         + DIM_ARGS,
     )
     assert len(out["train"]["losses"]) == 2
+
+
+def test_int_rels_train_smoke(synth_root, tmp_path):
+    """MidFusionMultiClip training (the remaining untrained preset)."""
+    from lirec_tpu.cli.common import run_entry
+
+    out = run_entry(
+        "int_rels",
+        ["--data-root", synth_root, "--store-root", str(tmp_path / "s3"),
+         "--train", "--epochs", "2", "--batch-size", "8", "--quiet"]
+        + DIM_ARGS,
+    )
+    losses = out["train"]["losses"]
+    assert len(losses) == 2 and np.isfinite(losses).all()
