@@ -221,6 +221,30 @@ class ClipGraph:
             return [(n, self.node_type(n)) for n in ids]
         return ids
 
+    def verify_node_name(self, nid: int, expected: str) -> bool:
+        """True iff the node exists and carries this name (the verify form
+        of ref GraphClasses.py:175-190)."""
+        return self.node_name(nid) == expected and nid in self.G
+
+    def get_topic(self, nid: int) -> List[str]:
+        """Topic names attached to an interaction (ref :257-261)."""
+        return [name for _n, name in self.get_neighbors(
+            nid, ntypes=["topic"], return_names=True)]
+
+    def get_aux_info(self, nid: Optional[int] = None, ntypes=(),
+                     return_names: bool = True):
+        """Auxiliary nodes (situation/scene/... types) for the clip or a
+        node's neighborhood (ref :263-286, simplified to the query surface)."""
+        if nid is None:
+            ids = self.get_node_ids_of_type(ntypes) if ntypes else list(
+                self.G.node
+            )
+        else:
+            ids = [n for n in self.get_neighbors(nid, ntypes=ntypes or None)]
+        if return_names:
+            return [(n, self.node_name(n)) for n in ids]
+        return ids
+
     def get_characters(self, only_entities: bool = False) -> List[str]:
         """Entity names in the clip (ref :308-334, simplified to the
         entity-node surface)."""

@@ -124,3 +124,20 @@ def test_rels_only_eval_maxtracks_preset(synth_root):
     bundle = create_model(cfg, ds.n_classes, n_rels=ds.n_rels - 1)
     out = evaluate_rels_only(ds, bundle, bundle.params, cfg, verbose=False)
     assert 0 <= out["rels_top1"] <= 1
+
+
+def test_topic_and_aux_queries(synth_cfg):
+    clip, _ = _clip(synth_cfg)
+    inter_id = clip.get_node_ids_of_type("interaction")[0]
+    # synthetic clips have no topic nodes; attach one
+    tid = clip.new_nodeid()
+    clip.G.add_node(tid, name="money", type="topic", origtext="money",
+                    pos=(0, 0))
+    clip.G.add_edge(inter_id, tid)
+    assert clip.get_topic(inter_id) == ["money"]
+    assert clip.verify_node_name(tid, "money")
+    assert not clip.verify_node_name(tid, "love")
+    aux = clip.get_aux_info(ntypes=("time",))
+    assert aux and all(isinstance(x, tuple) for x in aux)
+    neigh = clip.get_aux_info(inter_id, ntypes=("topic",))
+    assert neigh == [(tid, "money")]
