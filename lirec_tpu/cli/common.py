@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import Optional
 
 from lirec_tpu import config as config_lib
 from lirec_tpu.checkpoint import load_params, load_torch_checkpoint
@@ -137,7 +136,6 @@ def run_entry(preset_name: str, argv=None) -> dict:
         jax.config.update("jax_default_prng_impl", "rbg")
 
     needs_rels = cfg.tasks.rels or cfg.tasks.rels_multitask
-    datasets = {}
     train_split = TRAIN_SPLIT[preset_name]
     workers = args.cache_workers
     train_ds = InteractionDataset(cfg, mode=train_split)

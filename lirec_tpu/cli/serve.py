@@ -21,7 +21,7 @@ import argparse
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
@@ -118,15 +118,14 @@ class InferenceEngine:
                 self.bundle.params, feat_idx, rels_mask, self.tables,
                 self.embedded,
             )
+        from lirec_tpu.evaluation.metrics import _sigmoid as sigmoid
+
         inters = np.asarray(inters, np.float64)[:B]
         rels = np.asarray(rels, np.float64)[:B] if rels is not None else None
         if inters.ndim == 2:  # non-maxtracks presets: [B, C] -> [B, 1, C]
             inters = inters[:, None, :]
             if rels is not None:
                 rels = rels[:, None, :]
-
-        def sigmoid(x):
-            return 1.0 / (1.0 + np.exp(-np.clip(x, -500, 500)))
 
         results = []
         for b in range(B):
@@ -230,9 +229,7 @@ def build_engine_from_args(args) -> InferenceEngine:
     if args.resume_path:
         params = load_checkpoint_params(args.resume_path, template=params)
     bundle = bundle._replace(params=params)
-    tb = ds.tables
-    tables = {"text": tb.text, "visual": tb.visual, "track": tb.track}
-    return InferenceEngine(bundle, tables, topk=args.topk,
+    return InferenceEngine(bundle, ds.tables.as_dict(), topk=args.topk,
                            max_batch=args.max_batch)
 
 

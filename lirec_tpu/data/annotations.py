@@ -18,7 +18,7 @@ import os
 import os.path as ops
 from collections import Counter, defaultdict
 from itertools import combinations
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 

@@ -94,6 +94,10 @@ class FeatureTables:
         self.track = np.stack(self._track_rows).astype(np.float32)
         self.track_nonzero = np.abs(self.track).sum(axis=1) > 0
 
+    def as_dict(self) -> Dict[str, np.ndarray]:
+        """The {'text','visual','track'} arrays the model layer consumes."""
+        return {"text": self.text, "visual": self.visual, "track": self.track}
+
     @property
     def n_clip_rows(self) -> int:
         return len(self._clip_rows)

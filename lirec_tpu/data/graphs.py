@@ -22,7 +22,7 @@ import json
 import os
 import warnings
 from collections import OrderedDict, defaultdict
-from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Union
+from typing import Dict, Iterator, List, Optional, Sequence, Union
 
 __all__ = ["Digraph", "ClipGraph", "MovieGraph", "load_graphs", "iter_movies"]
 

@@ -9,7 +9,7 @@ dense features happens **on device** inside jit (see models/*).
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List
 
 import numpy as np
 

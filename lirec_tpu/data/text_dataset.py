@@ -9,7 +9,7 @@ ref `text_utils/update_arg_pars.py:16-54`).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

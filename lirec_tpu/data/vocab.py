@@ -21,6 +21,8 @@ import json
 import os
 import re
 from collections import defaultdict
+
+import numpy as np
 from typing import Dict, List, Tuple
 
 # One smoke-test movie per split, matching the reference's hard-coded
@@ -179,8 +181,6 @@ def build_interidx_to_mgdidx(
     file iteration order (ref classification_dataloader.py:116-122); the
     dataset only looks up indices of its own class, so collisions are benign.
     """
-    import numpy as np
-
     arr = np.zeros(len(inter2idx), dtype=int)
     pos = 0 if inter_class == "all" else -1
     for name, idxs in inter2idx.items():

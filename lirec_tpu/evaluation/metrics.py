@@ -18,7 +18,7 @@ narrowing. Documented quirks kept bug-for-bug:
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -8,6 +8,7 @@ logs) is interchangeable.
 
 from __future__ import annotations
 
+import collections
 from typing import Dict, Optional
 
 import jax
@@ -37,12 +38,7 @@ def evaluate_rels_only(
     was = dataset.test_rels_multi_clip
     dataset.test_rels_multi_clip = True
     try:
-        tb = dataset.tables
-        tables = {
-            "text": jnp.asarray(tb.text),
-            "visual": jnp.asarray(tb.visual),
-            "track": jnp.asarray(tb.track),
-        }
+        tables = jax.tree.map(jnp.asarray, dataset.tables.as_dict())
         acc = RelationshipsAcc(n_rels=dataset.n_rels)
         # bucket items by padded clip count to bound recompiles
         items = [dataset[i] for i in range(len(dataset))]
@@ -114,8 +110,7 @@ def evaluate(
     losses = []
 
     if tables is None and not dense:
-        tb = dataset.tables
-        tables = {"text": tb.text, "visual": tb.visual, "track": tb.track}
+        tables = dataset.tables.as_dict()
     if tables is not None:
         tables = jax.tree.map(jax.numpy.asarray, tables)
     it = batch_iterator or BatchIterator(
@@ -165,8 +160,6 @@ def evaluate(
     # Bounded pipeline: keep a few batches in flight so device compute
     # overlaps host metric accumulation, without holding O(dataset) device
     # outputs live at once.
-    import collections
-
     PIPELINE_DEPTH = 4
     in_flight = collections.deque()
 

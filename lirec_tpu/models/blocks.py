@@ -9,12 +9,12 @@ from reference-layout rows.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from lirec_tpu.models.layers import DropoutRng, dropout, init_linear, linear
+from lirec_tpu.models.layers import compute_dtype, DropoutRng, dropout, init_linear, linear
 
 __all__ = ["FeatSlices", "slices_from_dense",
            "init_modality_mlps", "modality_embed", "gate_apply", "init_gate"]
@@ -68,7 +68,7 @@ def modality_embed(
     """linear -> dropout -> relu -> linear per modality, concatenated
     [txt j | vis j | tr1 j/2 | tr2 j/2] (ref mlp/model.py:152-169)."""
     p = spec.dropout
-    cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
+    cdt = compute_dtype(spec)
 
     def two_layer(name1, name2, x):
         h = linear(params[name1], x, cdt)
@@ -100,7 +100,7 @@ def gate_apply(
     deterministic: bool,
 ) -> jnp.ndarray:
     """cat(ctx, ints) -> linear -> relu -> dropout (ref mlp/model.py:349-354)."""
-    cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
+    cdt = compute_dtype(spec)
     fused = jnp.concatenate([ctx_repr, ints_repr], axis=-1)
     out = jax.nn.relu(linear(params["gates_ints"], fused, cdt))
     return dropout(out, spec.dropout, rng, deterministic)

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from lirec_tpu.models.blocks import gate_apply
-from lirec_tpu.models.layers import DropoutRng, dropout, linear
+from lirec_tpu.models.layers import compute_dtype, DropoutRng, dropout, linear
 
 __all__ = ["project_tables", "midfusion_hybrid", "midfusion_maxtracks_hybrid",
            "modalities_hybrid"]
@@ -39,7 +39,7 @@ class H1Tables(NamedTuple):
 
 
 def project_tables(params: Dict, prefix: str, tables: Dict, spec) -> H1Tables:
-    cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
+    cdt = compute_dtype(spec)
     return H1Tables(
         txt=linear(params["txt_%s" % prefix], tables["text"], cdt),
         vis=linear(params["vis_%s" % prefix], tables["visual"], cdt),
@@ -55,7 +55,7 @@ def _embed_from_h1(
     """Gather first-layer rows for idx[..., 3], then dropout -> relu ->
     second layers, concatenated (same output as blocks.modality_embed)."""
     p = spec.dropout
-    cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
+    cdt = compute_dtype(spec)
 
     def second(name, h):
         h = jax.nn.relu(dropout(h, p, rng, deterministic))
@@ -83,7 +83,7 @@ def midfusion_maxtracks_hybrid(
 
     feat_idx: [B, T, 1+R, 3] (ctx on) or [B, T, 1, 3]; rels_mask [B, T, R].
     """
-    cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
+    cdt = compute_dtype(spec)
     drop = DropoutRng(rng)
     B, T = feat_idx.shape[0], feat_idx.shape[1]
     output_ints = output_ctx = None
@@ -141,7 +141,7 @@ def midfusion_hybrid(
 
     feat_idx: [B, 1+R, 3]; rels_mask: [B, R] or [B, R, 1].
     """
-    cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
+    cdt = compute_dtype(spec)
     drop = DropoutRng(rng)
     B = feat_idx.shape[0]
     output_ints = output_ctx = None
@@ -183,7 +183,7 @@ def modalities_hybrid(
     rng: Optional[jax.Array] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Modalities over packed batches, hybrid layering. feat_idx [B, 1, 3]."""
-    cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
+    cdt = compute_dtype(spec)
     drop = DropoutRng(rng)
     p = spec.dropout
     if feat_idx.ndim == 3:

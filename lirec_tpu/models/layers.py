@@ -13,9 +13,15 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["init_linear", "linear", "DropoutRng", "dropout"]
+__all__ = ["init_linear", "linear", "DropoutRng", "dropout", "compute_dtype"]
 
 Params = Dict[str, jnp.ndarray]
+
+
+def compute_dtype(spec):
+    """Matmul input dtype for a ModelSpec ('bfloat16' -> jnp.bfloat16,
+    anything else -> None = keep input dtype)."""
+    return jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
 
 
 def init_linear(key: jax.Array, in_dim: int, out_dim: int, dtype=jnp.float32) -> Params:

@@ -24,7 +24,7 @@ from lirec_tpu.models.blocks import (
     init_modality_mlps,
     modality_embed,
 )
-from lirec_tpu.models.layers import DropoutRng, dropout, init_linear, linear
+from lirec_tpu.models.layers import compute_dtype, DropoutRng, dropout, init_linear, linear
 
 __all__ = ["init_midfusion", "midfusion_forward", "midfusion_maxtracks_forward"]
 
@@ -87,7 +87,7 @@ def midfusion_forward(
     """MidFusionMultiClip. s: [B, 1+R, dim] slices (row 0 = GT clip);
     rels_mask: [B, R]. Returns {'inters': [B, C], 'rels': [B, n_rels]}."""
     drop = DropoutRng(rng)
-    cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
+    cdt = compute_dtype(spec)
     output_ints = output_ctx = None
 
     if spec.ints:
@@ -132,7 +132,7 @@ def midfusion_maxtracks_forward(
     [B, T, 1, dim] (ctx off); rels_mask: [B, T, R].
     Returns {'inters': [B, T, C], 'rels': [B, T, n_rels] or None}."""
     drop = DropoutRng(rng)
-    cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
+    cdt = compute_dtype(spec)
     batch, n_tracks = s.text.shape[0], s.text.shape[1]
     flat = FeatSlices(*(a.reshape((batch * n_tracks,) + a.shape[2:]) for a in s))
     output_ints = output_ctx = None

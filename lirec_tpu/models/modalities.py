@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from lirec_tpu.models.blocks import FeatSlices
-from lirec_tpu.models.layers import DropoutRng, dropout, init_linear, linear
+from lirec_tpu.models.layers import compute_dtype, DropoutRng, dropout, init_linear, linear
 
 __all__ = ["init_modalities", "modalities_forward"]
 
@@ -51,7 +51,7 @@ def modalities_forward(
     """s: GT-row slices with leading batch dims [B]. Returns {'inters': [B, C]}."""
     drop = DropoutRng(rng)
     p = spec.dropout
-    cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
+    cdt = compute_dtype(spec)
 
     def two_layer(n1, n2, x):
         h = linear(params[n1], x, cdt)

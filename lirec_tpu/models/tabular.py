@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from lirec_tpu.models.blocks import gate_apply
-from lirec_tpu.models.layers import DropoutRng, linear
+from lirec_tpu.models.layers import compute_dtype, DropoutRng, linear
 
 __all__ = [
     "embed_tables",
@@ -43,7 +43,7 @@ def _two_layer(params, n1, n2, x, cdt):
 
 def embed_tables(params: Dict, prefix: str, tables: Dict, spec) -> EmbeddedTables:
     """Per-modality MLPs over the deduplicated tables (eval: dropout = id)."""
-    cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
+    cdt = compute_dtype(spec)
     txt = _two_layer(params, "txt_%s" % prefix, "txt2_%s" % prefix,
                      tables["text"], cdt)
     vis = _two_layer(params, "vis_%s" % prefix, "vis2_%s" % prefix,
@@ -148,7 +148,7 @@ def midfusion_maxtracks_tabular(
 
     feat_idx: [B, T, 1+R, 3]; rels_mask: [B, T, R].
     """
-    cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
+    cdt = compute_dtype(spec)
     B, T = feat_idx.shape[0], feat_idx.shape[1]
     drop = DropoutRng(None)
     output_ints = output_ctx = None
@@ -208,7 +208,7 @@ def midfusion_tabular(
 
     feat_idx: [B, 1+R, 3]; rels_mask: [B, R, 1] or [B, R].
     """
-    cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
+    cdt = compute_dtype(spec)
     B = feat_idx.shape[0]
     drop = DropoutRng(None)
     output_ints = output_ctx = None
@@ -243,7 +243,7 @@ def modalities_tabular(
     params: Dict, spec, tables: Dict, feat_idx: jnp.ndarray
 ) -> Dict[str, jnp.ndarray]:
     """Modalities eval forward over tables. feat_idx: [B, 1, 3] or [B, 3]."""
-    cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
+    cdt = compute_dtype(spec)
     if feat_idx.ndim == 3:
         feat_idx = feat_idx[:, 0, :]
 

@@ -20,7 +20,7 @@ import numpy as np
 import optax
 
 from lirec_tpu.checkpoint.saver import BestNSaver, save_train_state
-from lirec_tpu.data.pipeline import BatchIterator
+from lirec_tpu.data.pipeline import BatchIterator, prefetch_to_device
 from lirec_tpu.evaluation.runner import evaluate
 from lirec_tpu.train.optim import make_optimizer
 from lirec_tpu.utils.meters import Averaging, MetricsLogger
@@ -84,8 +84,7 @@ def train(
     if opt_state is None:
         opt_state = tx.init(params)
     if tables is None and not dense:
-        tb = train_dataset.tables
-        tables = {"text": tb.text, "visual": tb.visual, "track": tb.track}
+        tables = train_dataset.tables.as_dict()
     if tables is not None:
         tables = jax.tree.map(jax.numpy.asarray, tables)
     step = make_train_step(bundle, tx)
@@ -112,8 +111,6 @@ def train(
         batch_time, data_time, loss_meter = Averaging(), Averaging(), Averaging()
         start = time.time()
         end = time.time()
-        from lirec_tpu.data.pipeline import prefetch_to_device
-
         for i, batch in enumerate(prefetch_to_device(iterator)):
             data_time.update(time.time() - end)
             n = batch["labels"].shape[0] if batch["labels"].ndim else 1

@@ -3,7 +3,7 @@ sharding dry runs, and benchmarks."""
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 
