@@ -164,3 +164,38 @@ def test_update_probs_top_n_labels():
     top, p = m.update_probs(probs, np.array([1, 0]), top_n_labels=2)
     np.testing.assert_array_equal(top, [[1, 2], [0, 1]])
     np.testing.assert_allclose(p, [[0.5, 0.4], [0.9, 0.05]])
+
+
+def test_best_n_saver_policy_matches_reference():
+    """BestNSaver keep/evict decisions == reference ModelSaver on the same
+    metric sequences (ref utils/model_saver.py:31-51)."""
+    from tests import reference_bridge as bridge
+
+    if not bridge.reference_available():
+        import pytest
+
+        pytest.skip("/root/reference not mounted")
+    import importlib
+
+    ref = bridge.import_reference()
+    ref_saver_mod = importlib.import_module("utils.model_saver")
+    from lirec_tpu.checkpoint.saver import BestNSaver
+
+    rng = np.random.default_rng(11)
+    mine = BestNSaver(n=4)
+    theirs = ref_saver_mod.ModelSaver(n=4)
+    for epoch in range(25):
+        val = {
+            "total": float(rng.random()),
+            "ints": float(rng.random()),
+            "rels": float(rng.random()),
+        }
+        c_mine = mine.check(val)
+        c_theirs = theirs.check(val)
+        assert c_mine == c_theirs, epoch
+        if c_mine:
+            mine.update(val, {"params": {}, "epoch": epoch}, epoch)
+            theirs.update(val, {"epoch": epoch}, epoch)
+    for key in ("total", "ints", "rels"):
+        assert mine.eval[key] == theirs.eval[key], key
+        assert mine.worst_idx[key] == theirs.worst_idx[key], key
