@@ -57,3 +57,49 @@ def test_step_timer_and_trace_noop():
     assert summary["a"]["count"] == 2
     with trace(None):  # no-op path
         pass
+
+
+def test_prefetch_to_device_preserves_batches(synth_root):
+    import jax
+
+    from lirec_tpu import config as config_lib
+    from lirec_tpu.data import synthetic
+    from lirec_tpu.data.dataset import InteractionDataset, first_choice
+    from lirec_tpu.data.pipeline import BatchIterator, prefetch_to_device
+
+    base = synthetic.make_config(synth_root)
+    cfg = (
+        config_lib.preset("int_ch", data_root=synth_root)
+        .replace(dims=base.dims, paths=base.paths)
+    )
+    ds = InteractionDataset(cfg, mode="val", label_chooser=first_choice)
+    ds.cache()
+    plain = list(BatchIterator(ds, 8))
+    pre = list(prefetch_to_device(BatchIterator(ds, 8)))
+    assert len(plain) == len(pre)
+    for a, b in zip(plain, pre):
+        assert set(a) == set(b)
+        np.testing.assert_array_equal(
+            np.asarray(a["feat_idx"]), np.asarray(b["feat_idx"])
+        )
+    # empty iterator -> empty generator, no crash
+    assert list(prefetch_to_device(iter([]))) == []
+
+
+def test_meters_and_logger(tmp_path):
+    import json
+
+    from lirec_tpu.utils.meters import Averaging, MetricsLogger, stack_join
+
+    m = Averaging()
+    m.update(2.0, n=2)
+    m.update(4.0)
+    assert m.avg == pytest.approx(8.0 / 3)
+    log = MetricsLogger(str(tmp_path / "m.jsonl"))
+    log.log({"epoch": 0, "loss": 1.5})
+    rec = json.loads((tmp_path / "m.jsonl").read_text().splitlines()[0])
+    assert rec["loss"] == 1.5 and "ts" in rec
+    a = np.ones((2, 3))
+    assert stack_join(None, a) is a
+    assert stack_join(a, None) is a
+    assert stack_join(a, a).shape == (4, 3)
