@@ -61,3 +61,26 @@ def test_int_rels_train_smoke(synth_root, tmp_path):
     )
     losses = out["train"]["losses"]
     assert len(losses) == 2 and np.isfinite(losses).all()
+
+
+@pytest.mark.parametrize("preset", ["modalities", "int_rels"])
+def test_eval_resume_remaining_presets(synth_root, tmp_path, preset):
+    """Train -> checkpoint -> eval-resume through the CLI for the presets
+    not already covered by the other e2e tests."""
+    from lirec_tpu.cli.common import run_entry
+
+    store = str(tmp_path / ("st_" + preset))
+    run_entry(
+        preset,
+        ["--data-root", synth_root, "--store-root", store, "--train",
+         "--epochs", "1", "--batch-size", "8", "--quiet"] + DIM_ARGS,
+    )
+    out = run_entry(
+        preset,
+        ["--data-root", synth_root, "--store-root", store,
+         "--resume-path", store + "/0.ckpt", "--batch-size", "8",
+         "--quiet"] + DIM_ARGS,
+    )
+    for split in ("val", "test"):
+        assert np.isfinite(out[split]["loss"])
+        assert 0 <= out[split]["ints"] <= 1
