@@ -183,6 +183,16 @@ def make_handler(engine: InferenceEngine):
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                # Cap the body before reading it: the largest legal request is
+                # max_batch samples of [20, 19, 3] int indices (+ masks), well
+                # under 1 MB/sample as JSON text.
+                max_body = max(1, engine.max_batch) << 20
+                if length > max_body:
+                    self._send(413, {
+                        "error": "request body %d bytes exceeds %d"
+                        % (length, max_body)
+                    })
+                    return
                 payload = json.loads(self.rfile.read(length) or b"{}")
                 samples = payload["samples"]
                 feat_idx = np.asarray(

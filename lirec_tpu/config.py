@@ -170,6 +170,19 @@ class Tasks:
     rels_n_clips: int = 18
     n_hypotheses: int = 20  # hard cap, ref classification_dataloader.py:177
 
+    def __post_init__(self):
+        # The dataset's relationship-context assembly only defines
+        # context_idx/rels_mask under rels_multitask+rels_multi_clip, so the
+        # flags must stay coupled the way every reference entry point couples
+        # them (resume/int_rels.py, resume/int_rel_ch.py set both together).
+        if self.rels_multi_clip and not self.rels_multitask:
+            raise ValueError("rels_multi_clip requires rels_multitask")
+        if self.rels_multitask and self.tr_maximize and not self.rels_multi_clip:
+            raise ValueError(
+                "rels_multitask + tr_maximize requires rels_multi_clip "
+                "(hypothesis rows carry per-clip relationship context)"
+            )
+
 
 @dataclass(frozen=True)
 class Optim:

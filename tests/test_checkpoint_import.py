@@ -72,6 +72,89 @@ def test_pth_tar_roundtrip(tmp_path):
     )
 
 
+def test_torch_free_reader_both_formats(tmp_path):
+    """pickle_reader must reproduce torch.load on both serialization
+    formats: zip (torch>=1.6 default) and legacy (what the 2019 released
+    checkpoints use; ref utils/util_functions.py:274-281)."""
+    import torch
+
+    from lirec_tpu.checkpoint.pickle_reader import read_pth_tar
+
+    torch.manual_seed(1)
+    sd = {
+        "txt_ints.weight": torch.randn(8, 16, dtype=torch.float32),
+        "txt_ints.bias": torch.randn(8, dtype=torch.float64),
+        "out_ints.weight": torch.randn(4, 8).half(),
+    }
+    ckpt = {"epoch": 7, "state_dict": sd, "optimizer": {"step": 3}}
+    for fmt, kwargs in (
+        ("zip", {}),
+        ("legacy", {"_use_new_zipfile_serialization": False}),
+    ):
+        path = str(tmp_path / ("ckpt_%s.pth.tar" % fmt))
+        torch.save(ckpt, path, **kwargs)
+        out = read_pth_tar(path)
+        assert out["epoch"] == 7 and out["optimizer"]["step"] == 3
+        for k, v in sd.items():
+            got = out["state_dict"][k]
+            assert got.dtype == v.numpy().dtype, (fmt, k)
+            np.testing.assert_array_equal(got, v.numpy(), err_msg=(fmt, k))
+
+
+def test_torch_free_reader_rejects_arbitrary_globals(tmp_path):
+    """The restricted unpickler must refuse classes off the safelist
+    instead of executing their reduce callables."""
+    import pickle
+
+    import torch
+
+    from lirec_tpu.checkpoint.pickle_reader import read_pth_tar
+
+    path = str(tmp_path / "evil.pth.tar")
+    torch.save({"obj": np.float64(1.0)}, path)  # numpy global: not allowed
+    with pytest.raises(pickle.UnpicklingError, match="does not allow"):
+        read_pth_tar(path)
+
+
+def test_load_checkpoint_without_torch(tmp_path, monkeypatch):
+    """load_torch_checkpoint must work with torch absent (SURVEY §7.5:
+    conversion on TPU hosts without a torch install)."""
+    import sys
+
+    import torch
+
+    sd = {
+        "module.txt_ints.weight": torch.arange(12, dtype=torch.float32).reshape(3, 4),
+        "module.txt_ints.bias": torch.zeros(3),
+        "module.bn.num_batches_tracked": torch.tensor(5),  # buffer: skipped
+        "module.not_a_tensor": 3,  # non-tensor: skipped
+    }
+    path = str(tmp_path / "ckpt.pth.tar")
+    torch.save(
+        {"epoch": 9, "state_dict": sd},
+        path,
+        _use_new_zipfile_serialization=False,
+    )
+
+    monkeypatch.setitem(sys.modules, "torch", None)  # import torch -> ImportError
+    params, meta = load_torch_checkpoint(path)
+    assert meta["epoch"] == 9 and not meta["has_optimizer"]
+    assert set(params) == {"txt_ints"}
+    np.testing.assert_array_equal(
+        params["txt_ints"]["kernel"],
+        np.arange(12, dtype=np.float32).reshape(3, 4).T,
+    )
+
+
+def test_state_dict_malformed_key_error():
+    from lirec_tpu.checkpoint.torch_import import params_from_torch_state_dict
+
+    with pytest.raises(ValueError, match="unexpected checkpoint entry"):
+        params_from_torch_state_dict({"dotless": np.zeros((2, 2))})
+    with pytest.raises(ValueError, match="unexpected checkpoint entry"):
+        params_from_torch_state_dict({"layer.unknown_kind": np.zeros((2, 2))})
+
+
 def test_convert_checkpoint_cli(tmp_path):
     import torch
 
