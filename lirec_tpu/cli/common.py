@@ -66,6 +66,9 @@ def build_parser(preset_name: str) -> argparse.ArgumentParser:
     p.add_argument("--joint-dim", type=int, default=512)
     p.add_argument("--compute-dtype", default=None,
                    choices=["float32", "bfloat16"])
+    p.add_argument("--host-eval", action="store_true",
+                   help="per-batch host eval loop instead of the packed "
+                        "one-dispatch device sweep (same metrics, slower)")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -197,14 +200,18 @@ def run_entry(preset_name: str, argv=None) -> dict:
         params = out["params"]
         results["train"] = {"losses": out["losses"]}
     else:
+        if args.host_eval:
+            eval_fn = evaluate
+        else:
+            from lirec_tpu.evaluation.packed import evaluate_packed as eval_fn
         if verbose:
             print("testing on validation set")
-        results["val"] = evaluate(
+        results["val"] = eval_fn(
             val_ds, bundle, params, cfg, mode="val", verbose=verbose
         )
         if verbose:
             print("testing on test set")
-        results["test"] = evaluate(
+        results["test"] = eval_fn(
             test_ds, bundle, params, cfg, mode="test", verbose=verbose
         )
     return results

@@ -1,0 +1,331 @@
+"""Whole-sweep on-device evaluation.
+
+The host eval loop (runner.evaluate) dispatches one jit call per batch and
+counts metrics in numpy between dispatches; through the remote-TPU tunnel
+the per-batch round trips dominate. Here the ENTIRE split evaluates in one
+dispatch: the packed split (dataset.materialize()) lives on device, a
+`lax.fori_loop` steps over full batches, and every metric counter — the
+grounding argmax counts of `update_probs_max_tracks[_rels]`
+(ref evaluation.py:114-271), the top-k/soft/confusion counters of
+`update_probs` (ref :68-107), and the per-(pair,rel)-hash score sums of
+`RelationshipsAcc` (ref :367-417, a segment-sum over dense hash ids) —
+accumulates in the loop carry. One small fetch returns everything; the host
+only finishes divisions and the per-hash argsort (a few hundred rows).
+
+Counting semantics match runner.evaluate exactly (tested per preset in
+tests/test_packed_eval.py), including the reference's skip of size-1
+batches (ref test.py:38-39): the trailing remainder evaluates at its
+natural size in a second small dispatch, or is dropped when it is a single
+sample.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lirec_tpu.evaluation.metrics import MetricAccumulator, RelationshipsAcc
+from lirec_tpu.evaluation.runner import summarize_metrics
+
+__all__ = ["evaluate_packed", "device_sweep_builder", "finish_from_carry"]
+
+
+def _topk_counters(logits, gt, n_classes, soft_labels=None):
+    """Device mirror of MetricAccumulator.update_probs (ref :68-107).
+
+    logits: [B, C] float32; gt: [B]. Returns int32 counter dict plus the
+    top-1 predictions for the confusion matrix scatter.
+    """
+    k = min(10, n_classes)
+    _, top = jax.lax.top_k(logits, k)  # stable: ties -> lower class index
+    hit = top == gt[:, None].astype(top.dtype)
+    counters = {
+        "top1": hit[:, 0].sum(dtype=jnp.int32),
+        "top3": hit[:, : min(3, k)].any(axis=1).sum(dtype=jnp.int32),
+        "top5": hit[:, : min(5, k)].any(axis=1).sum(dtype=jnp.int32),
+        "top10": hit.any(axis=1).sum(dtype=jnp.int32),
+        "total": jnp.int32(logits.shape[0]),
+    }
+    if soft_labels is not None:
+        # first top-5 prediction inside the soft set decides both counters
+        # (ref :87-94): soft@5 = any of top-5 in the set, soft@1 = top-1 in it
+        k5 = min(5, k)
+        in_soft = (
+            top[:, :k5, None] == soft_labels[:, None, :].astype(top.dtype)
+        ).any(axis=2)
+        counters["top1_sf"] = in_soft[:, 0].sum(dtype=jnp.int32)
+        counters["top5_sf"] = in_soft.any(axis=1).sum(dtype=jnp.int32)
+    return counters, top[:, 0]
+
+
+def _grounding_counters(preds, gt_classes, gt_tracks, just_zeros,
+                        gt_rels=None, n_rels=0):
+    """Device mirror of MetricAccumulator.update_from_predictions
+    (counting semantics of update_probs_max_tracks[_rels], ref :114-271)."""
+    B = gt_classes.shape[0]
+    rows = jnp.arange(B)
+    gt_classes = gt_classes.reshape(-1).astype(jnp.int32)
+    nz = ~just_zeros.astype(bool)
+    g0 = gt_tracks[:, 0].astype(jnp.int32)
+    g1 = gt_tracks[:, 1].astype(jnp.int32)
+    has2 = g1 != 0
+
+    l0 = preds["cls_argmax"][rows, g0].astype(jnp.int32)
+    l1 = preds["cls_argmax"][rows, g1].astype(jnp.int32)
+    correct0 = l0 == gt_classes
+    cls_top1 = correct0.sum(dtype=jnp.int32) + (
+        ~correct0 & (l1 == gt_classes)
+    ).sum(dtype=jnp.int32)
+
+    pr_track = preds["pr_track"].astype(jnp.int32)
+    hit0 = pr_track == g0
+    hit1 = has2 & ~hit0 & (pr_track == g1)
+    trks_top1 = (nz & hit0).sum(dtype=jnp.int32) + (nz & hit1).sum(
+        dtype=jnp.int32
+    )
+
+    jmatch = preds["c_star"].astype(jnp.int32) == gt_classes
+    counters = {
+        "total": nz.sum(dtype=jnp.int32),
+        "total_cl": jnp.int32(B),
+        "cls_top1": cls_top1,
+        "trks_top1": trks_top1,
+    }
+    if gt_rels is not None:
+        gt_rels = gt_rels.astype(jnp.int32)
+        rel0 = gt_rels[:, 0]
+        # reference rels_mask-nonzero sample filter (ref test.py:62)
+        rvalid = (rel0 - n_rels + 1) != 0
+        counters["total_rels"] = rvalid.sum(dtype=jnp.int32)
+        rels_argmax = preds["rels_argmax"].astype(jnp.int32)
+        p0 = rels_argmax[rows, g0]
+        p1 = rels_argmax[rows, g1]
+        rcorrect0 = p0 == gt_rels[rows, g0]
+        counters["rels_top1"] = (rvalid & rcorrect0).sum(dtype=jnp.int32) + (
+            rvalid & ~rcorrect0 & (p1 == gt_rels[rows, g1])
+        ).sum(dtype=jnp.int32)
+        jmatch = jmatch & (preds["r_star"].astype(jnp.int32) == rel0)
+    t_star = preds["t_star"].astype(jnp.int32)
+    joint0 = jmatch & (t_star == g0)
+    joint1 = has2 & ~hit0 & jmatch & (t_star == g1)
+    counters["top1"] = (nz & joint0).sum(dtype=jnp.int32) + (
+        nz & joint1
+    ).sum(dtype=jnp.int32)
+    return counters
+
+
+def device_sweep_builder(bundle, t, n_classes: int, n_rels: int,
+                         n_hashes: int):
+    """Build (init_carry, step) for the on-device metric sweep.
+
+    `step(params, tables, embedded, carry, batch)` runs model + loss +
+    metric counting for one batch and folds the counts into `carry`;
+    it compiles inside a fori_loop body (full batches) and standalone
+    (remainder batch).
+    """
+    spec = bundle.spec
+    maxtracks = t.tr_maximize and t.ints
+    plain = not t.tr_maximize and not t.rels_multitask
+    conf = plain or (t.rels_multitask and t.ints and not t.tr_maximize)
+
+    def init_carry():
+        carry = {
+            "loss_sum": jnp.float32(0),
+            "n_batches": jnp.int32(0),
+        }
+        zero = jnp.int32(0)
+        if maxtracks:
+            carry.update(
+                total=zero, total_cl=zero, cls_top1=zero, trks_top1=zero,
+                top1=zero,
+            )
+            if t.ctx:
+                carry.update(total_rels=zero, rels_top1=zero)
+        else:
+            carry.update(total=zero, top1=zero, top3=zero, top5=zero,
+                         top10=zero)
+            if t.soft_gt:
+                carry.update(top1_sf=zero, top5_sf=zero)
+        if conf:
+            carry["conf_mat"] = jnp.zeros(
+                (n_classes, n_classes), jnp.int32
+            )
+        if t.rels_multitask and t.ctx and not t.tr_maximize:
+            # RelationshipsAcc state: per-hash sigmoid-score sums (+1 dump
+            # row for filtered samples), gt label, and seen flag. Width =
+            # the model head (spec.n_rels); dataset.n_rels counts 'None' too
+            carry["rels_table"] = jnp.zeros((n_hashes + 1, spec.n_rels),
+                                            jnp.float32)
+            carry["rels_gt"] = jnp.zeros(n_hashes + 1, jnp.int32)
+            carry["rels_seen"] = jnp.zeros(n_hashes + 1, jnp.bool_)
+        return carry
+
+    def step(params, tables, embedded, carry, batch):
+        model_batch = {
+            k: batch[k] for k in ("feat_idx", "rels_mask") if k in batch
+        }
+        out = bundle.apply(
+            params, model_batch, tables=tables, embedded=embedded
+        )
+        loss = bundle.loss(out, batch, rng=jax.random.PRNGKey(0))
+        carry = dict(carry)
+        carry["loss_sum"] = carry["loss_sum"] + loss.astype(jnp.float32)
+        carry["n_batches"] = carry["n_batches"] + 1
+        B = batch["labels"].shape[0]
+
+        def fold(counters):
+            for key, val in counters.items():
+                carry[key] = carry[key] + val
+
+        if maxtracks:
+            from lirec_tpu.evaluation.device_metrics import (
+                grounding_predictions,
+            )
+
+            preds = grounding_predictions(
+                out["inters"],
+                batch["mem_mask"],
+                batch["labels"],
+                pr_probs_rels=out["rels"] if t.ctx else None,
+                gt_rels=batch["rels_label"] if t.ctx else None,
+            )
+            fold(
+                _grounding_counters(
+                    preds,
+                    batch["labels"],
+                    batch["gt_tracks"],
+                    batch["just_zeros"],
+                    gt_rels=batch["rels_label"] if t.ctx else None,
+                    n_rels=n_rels,
+                )
+            )
+            return carry
+
+        if plain:
+            logits = out["inters"].astype(jnp.float32).reshape(B, -1)
+            gt = batch["labels"].reshape(-1).astype(jnp.int32)
+            counters, top1_pred = _topk_counters(
+                logits, gt, n_classes,
+                soft_labels=batch["soft_labels"] if t.soft_gt else None,
+            )
+            fold(counters)
+            carry["conf_mat"] = carry["conf_mat"].at[gt, top1_pred].add(1)
+            return carry
+
+        # rels_multitask without maxtracks (int_rels preset)
+        if t.ints:
+            inters = out["inters"].astype(jnp.float32).reshape(
+                B, -1, n_classes
+            )[:, 0]
+            gt = batch["labels"][:, 0].reshape(-1).astype(jnp.int32)
+            counters, top1_pred = _topk_counters(inters, gt, n_classes)
+            fold(counters)
+            carry["conf_mat"] = carry["conf_mat"].at[gt, top1_pred].add(1)
+        if t.ctx:
+            rels_label = batch["rels_label"].reshape(-1).astype(jnp.int32)
+            hashes = batch["hash_rel"].reshape(-1).astype(jnp.int32)
+            valid = (rels_label - n_rels + 1) != 0
+            probs = jax.nn.sigmoid(out["rels"].astype(jnp.float32))
+            h = jnp.where(valid & (hashes >= 0), hashes, n_hashes)
+            carry["rels_table"] = carry["rels_table"].at[h].add(
+                jnp.where(valid[:, None], probs, 0.0)
+            )
+            carry["rels_gt"] = carry["rels_gt"].at[h].set(rels_label)
+            carry["rels_seen"] = carry["rels_seen"].at[h].max(valid)
+        return carry
+
+    return init_carry, step
+
+
+def evaluate_packed(
+    dataset,
+    bundle,
+    params,
+    cfg,
+    mode: str = "val",
+    tables: Optional[Dict] = None,
+    verbose: bool = True,
+    data: Optional[Dict[str, np.ndarray]] = None,
+    batch_size: Optional[int] = None,
+) -> Dict[str, float]:
+    """One-dispatch evaluation of a whole split; returns the same metric
+    dict (and prints the same lines) as runner.evaluate."""
+    t = cfg.tasks
+    n_rels = dataset.n_rels
+    n_classes = dataset.n_classes
+    n_hashes = len(getattr(dataset, "hashidx_rels", ()) or ())
+    B = batch_size or cfg.optim.batch_size
+
+    if data is None:
+        data = dataset.materialize()
+    N = len(data["labels"])
+    n_full, tail = divmod(N, B)
+    if tail == 1:
+        tail = 0  # ref test.py:38-39: size-1 batches are skipped
+
+    if tables is None:
+        tables = dataset.tables.as_dict()
+    tables = jax.tree.map(jnp.asarray, tables)
+
+    from lirec_tpu.models.tabular import embed_all
+
+    embedded = jax.jit(lambda p, tb: embed_all(p, bundle.spec, tb))(
+        params, tables
+    )
+    init_carry, step = device_sweep_builder(
+        bundle, t, n_classes, n_rels, n_hashes
+    )
+
+    data_dev = {k: jnp.asarray(v) for k, v in data.items()}
+
+    @functools.partial(jax.jit, static_argnames=("n_full",))
+    def sweep(params, tables, embedded, data, n_full):
+        def body(i, carry):
+            batch = jax.tree.map(
+                lambda a: jax.lax.dynamic_slice_in_dim(a, i * B, B), data
+            )
+            return step(params, tables, embedded, carry, batch)
+
+        return jax.lax.fori_loop(0, n_full, body, init_carry())
+
+    carry = sweep(params, tables, embedded, data_dev, n_full=n_full)
+    if tail:
+        tail_batch = {k: v[n_full * B :] for k, v in data_dev.items()}
+        carry = jax.jit(step)(params, tables, embedded, carry, tail_batch)
+    return finish_from_carry(carry, t, n_rels, n_hashes, mode, verbose)
+
+
+def finish_from_carry(
+    carry, t, n_rels: int, n_hashes: int, mode: str, verbose: bool
+) -> Dict[str, float]:
+    """Host finish of the device sweep: fetch counters, fill the
+    accumulators, and emit the metric dict (divisions + the per-hash
+    argsort of RelationshipsAcc only)."""
+    carry = jax.tree.map(np.asarray, carry)
+    prec = MetricAccumulator(n_rels=n_rels)
+    prec.total = int(carry.get("total", 0))
+    prec.total_cl = int(carry.get("total_cl", 0))
+    prec.total_rels = int(carry.get("total_rels", 0))
+    for host_attr, key in (
+        ("_top1", "top1"), ("_top3", "top3"), ("_top5", "top5"),
+        ("_top10", "top10"), ("_top1_sf", "top1_sf"),
+        ("_top5_sf", "top5_sf"), ("_cls_top1", "cls_top1"),
+        ("_trks_top1", "trks_top1"), ("_rels_top1", "rels_top1"),
+    ):
+        if key in carry:
+            setattr(prec, host_attr, int(carry[key]))
+
+    prec_rels = None
+    if "rels_table" in carry:
+        prec_rels = RelationshipsAcc(n_rels=n_rels)
+        for h in np.nonzero(carry["rels_seen"][:n_hashes])[0]:
+            prec_rels._pr_probs[int(h)] = carry["rels_table"][h]
+            prec_rels._gt[int(h)] = int(carry["rels_gt"][h])
+
+    n_batches = int(carry["n_batches"])
+    avg_loss = float(carry["loss_sum"]) / n_batches if n_batches else 0.0
+    return summarize_metrics(t, prec, prec_rels, avg_loss, mode, verbose)

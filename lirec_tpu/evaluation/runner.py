@@ -17,7 +17,7 @@ import numpy as np
 from lirec_tpu.data.pipeline import BatchIterator
 from lirec_tpu.evaluation.metrics import MetricAccumulator, RelationshipsAcc
 
-__all__ = ["evaluate", "evaluate_rels_only"]
+__all__ = ["evaluate", "evaluate_rels_only", "summarize_metrics"]
 
 
 def evaluate_rels_only(
@@ -265,11 +265,26 @@ def evaluate(
                 conf_mat=conf_mat,
             )
 
+    avg_loss = float(np.mean(losses)) if losses else 0.0
+    out = summarize_metrics(t, prec, prec_rels, avg_loss, mode, verbose)
+    if return_details:
+        out["conf_mat"] = conf_mat
+        out["accumulator"] = prec
+        if prec_rels is not None:
+            out["rels_accumulator"] = prec_rels
+    return out
+
+
+def summarize_metrics(
+    t, prec, prec_rels, avg_loss: float, mode: str, verbose: bool
+) -> Dict[str, float]:
+    """Printed lines + ModelSaver metric dict from filled accumulators
+    (ref test.py:100-145); shared by the host and packed-device eval paths."""
+
     def log(msg):
         if verbose:
             print(msg)
 
-    avg_loss = float(np.mean(losses)) if losses else 0.0
     out_val = out_ints = out_rels = out_tr = out_joint = 0.0
     if t.ints:
         log("%s loss: %f" % (mode.upper(), avg_loss))
@@ -300,11 +315,6 @@ def evaluate(
         log("%s rel+int: %f" % (mode.upper(), out_val))
 
     out = {"total": out_val, "ints": out_ints, "loss": avg_loss}
-    if return_details:
-        out["conf_mat"] = conf_mat
-        out["accumulator"] = prec
-        if prec_rels is not None:
-            out["rels_accumulator"] = prec_rels
     if t.rels_multitask:
         out["rels"] = out_rels
     if t.tr_maximize:

@@ -1,0 +1,89 @@
+"""The packed on-device eval sweep must produce exactly the metric dict of
+the host eval loop (which itself is golden-tested against the reference in
+test_e2e_parity.py) — per preset, including odd batch remainders and the
+reference's size-1 batch skip (ref test.py:38-39)."""
+
+import numpy as np
+import pytest
+
+from lirec_tpu import config as config_lib
+from lirec_tpu.data import synthetic
+from lirec_tpu.data.dataset import InteractionDataset
+from lirec_tpu.evaluation.packed import evaluate_packed
+from lirec_tpu.evaluation.runner import evaluate
+from lirec_tpu.models.factory import create_model
+
+
+def _preset_cfg(synth_root, name, batch_size, **kw):
+    base = synthetic.make_config(synth_root)
+    cfg = config_lib.preset(name, data_root=synth_root, **kw)
+    cfg = cfg.replace(dims=base.dims, paths=base.paths).with_runtime(
+        compute_dtype="float32"
+    )
+    return cfg.replace(optim=cfg.optim.__class__(
+        **{**cfg.optim.__dict__, "batch_size": batch_size}
+    ))
+
+
+@pytest.mark.parametrize("preset,mode,batch_size", [
+    ("modalities", "val", 8),
+    ("int_rels", "val", 8),
+    ("int_ch", "test", 8),
+    ("int_rel_ch", "test", 8),
+    # odd remainders: exercise the tail dispatch and the size-1 skip
+    ("int_rel_ch", "test", 16),
+    ("int_rels", "val", 5),
+])
+def test_packed_matches_host_eval(synth_root, preset, mode, batch_size):
+    cfg = _preset_cfg(synth_root, preset, batch_size)
+    ds = InteractionDataset(cfg, mode=mode)
+    ds.cache()
+    n_rels = 0
+    if cfg.tasks.rels or cfg.tasks.rels_multitask:
+        ds.init_relships()
+        # CLI convention (cli/common.py): model head excludes 'None'
+        n_rels = max(len(ds.rels_list) - 1, 0)
+    bundle = create_model(cfg, ds.n_classes, n_rels=n_rels)
+
+    host = evaluate(ds, bundle, bundle.params, cfg, mode=mode, verbose=False)
+    packed = evaluate_packed(
+        ds, bundle, bundle.params, cfg, mode=mode, verbose=False
+    )
+    assert set(host) == set(packed), (preset, host.keys(), packed.keys())
+    for key in host:
+        np.testing.assert_allclose(
+            packed[key], host[key], rtol=1e-6, atol=1e-6,
+            err_msg="%s/%s B=%d metric %r" % (preset, mode, batch_size, key),
+        )
+
+
+def test_packed_size1_tail_skip(synth_root):
+    """When N % B == 1, both paths must drop the trailing sample."""
+    cfg = _preset_cfg(synth_root, "int_ch", 4)
+    ds = InteractionDataset(cfg, mode="test")
+    ds.cache()
+    N = len(ds)
+    B = None
+    for cand in range(2, N):
+        if N % cand == 1:
+            B = cand
+            break
+    if B is None:
+        pytest.skip("no batch size yields a size-1 remainder for N=%d" % N)
+    bundle = create_model(cfg, ds.n_classes)
+    host = evaluate(
+        ds, bundle, bundle.params, cfg, mode="test", verbose=False,
+        batch_iterator=None,
+    )
+    cfg_b = cfg.replace(optim=cfg.optim.__class__(
+        **{**cfg.optim.__dict__, "batch_size": B}
+    ))
+    host_b = evaluate(ds, bundle, bundle.params, cfg_b, mode="test",
+                      verbose=False)
+    packed_b = evaluate_packed(ds, bundle, bundle.params, cfg_b, mode="test",
+                               verbose=False)
+    for key in host_b:
+        np.testing.assert_allclose(packed_b[key], host_b[key], rtol=1e-6,
+                                   atol=1e-6, err_msg=key)
+    # sanity: the skip actually changed the counts vs full-batch eval
+    assert host_b["total"] != host["total"] or N % cfg.optim.batch_size == 1
