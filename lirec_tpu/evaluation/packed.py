@@ -31,7 +31,39 @@ import numpy as np
 from lirec_tpu.evaluation.metrics import MetricAccumulator, RelationshipsAcc
 from lirec_tpu.evaluation.runner import summarize_metrics
 
-__all__ = ["evaluate_packed", "device_sweep_builder", "finish_from_carry"]
+__all__ = [
+    "evaluate_packed",
+    "device_sweep_builder",
+    "finish_from_carry",
+    "allreduce_carry",
+]
+
+
+def allreduce_carry(carry):
+    """Combine per-process eval carries into the global one (multi-host
+    eval: each process sweeps its own data shard, then counters reduce).
+
+    Counters, loss sums, confusion matrices, and the RelationshipsAcc
+    score table are additive across processes. `rels_gt` is a consistent
+    label per hash (max over the seen rows); `rels_seen` is an any-reduce.
+    No-op single-process.
+    """
+    if jax.process_count() == 1:
+        return carry
+    from jax.experimental import multihost_utils
+
+    host = jax.tree.map(np.asarray, carry)
+    gathered = multihost_utils.process_allgather(host)
+    out = {}
+    for key, stacked in gathered.items():
+        if key == "rels_seen":
+            out[key] = stacked.any(axis=0)
+        elif key == "rels_gt":
+            seen = gathered["rels_seen"]
+            out[key] = np.where(seen, stacked, 0).max(axis=0)
+        else:
+            out[key] = stacked.sum(axis=0)
+    return out
 
 
 def _topk_counters(logits, gt, n_classes, soft_labels=None):
@@ -296,6 +328,9 @@ def evaluate_packed(
     if tail:
         tail_batch = {k: v[n_full * B :] for k, v in data_dev.items()}
         carry = jax.jit(step)(params, tables, embedded, carry, tail_batch)
+    # multi-host: each process evaluates its own data shard on its local
+    # devices; the counters reduce across processes here (no-op otherwise)
+    carry = allreduce_carry(carry)
     return finish_from_carry(carry, t, n_rels, n_hashes, mode, verbose)
 
 

@@ -29,6 +29,9 @@ __all__ = [
     "batch_shardings",
     "table_shardings",
     "shard_tree",
+    "initialize_distributed",
+    "process_local_slice",
+    "global_batch_from_local",
 ]
 
 
@@ -124,7 +127,63 @@ def table_shardings(tables: Dict, mesh: Mesh) -> Dict:
 
 
 def shard_tree(tree, shardings):
-    """device_put a pytree with a matching sharding tree."""
-    return jax.tree.map(
-        lambda leaf, sh: jax.device_put(leaf, sh), tree, shardings
-    )
+    """Commit a pytree to a matching sharding tree.
+
+    Single-process: a plain device_put. Multi-process: every process holds
+    the full host value (params / tables / replicated inputs), so each
+    leaf is assembled shard-by-shard with `make_array_from_callback` —
+    device_put cannot target non-addressable devices.
+    """
+    if jax.process_count() == 1:
+        return jax.tree.map(
+            lambda leaf, sh: jax.device_put(leaf, sh), tree, shardings
+        )
+
+    def put(leaf, sh):
+        arr = np.asarray(leaf)
+        return jax.make_array_from_callback(
+            arr.shape, sh, lambda idx: arr[idx]
+        )
+
+    return jax.tree.map(put, tree, shardings)
+
+
+def process_local_slice(mesh: Mesh, global_len: int, axis: str = "data") -> slice:
+    """Row range of a ``P(axis)``-sharded length-``global_len`` array owned
+    by THIS process. With the process-major device order of `make_mesh`
+    (jax.devices() sorts by process) each process owns one contiguous
+    block, so per-process data loaders can feed disjoint file ranges."""
+    sh = NamedSharding(mesh, P(axis))
+    pid = jax.process_index()
+    spans = sorted({
+        (idx[0].start or 0,
+         global_len if idx[0].stop is None else idx[0].stop)
+        for d, idx in sh.devices_indices_map((global_len,)).items()
+        if d.process_index == pid
+    })
+    lo, hi = spans[0][0], spans[-1][1]
+    cursor = lo
+    for start, stop in spans:
+        if start != cursor:
+            raise ValueError(
+                "process-local rows are not contiguous; lay the %r axis "
+                "out process-major (see make_mesh)" % axis
+            )
+        cursor = stop
+    return slice(lo, hi)
+
+
+def global_batch_from_local(local_batch: Dict, mesh: Mesh,
+                            axis: str = "data") -> Dict:
+    """Per-process batch shards -> global arrays (multi-host data feeding).
+
+    Each process passes only ITS rows (see `process_local_slice`);
+    `jax.make_array_from_process_local_data` assembles the global array
+    without any cross-host transfer. Works single-process too (where it
+    degenerates to a device_put)."""
+    out = {}
+    for key, val in local_batch.items():
+        val = np.asarray(val)
+        sh = NamedSharding(mesh, P(axis, *([None] * (val.ndim - 1))))
+        out[key] = jax.make_array_from_process_local_data(sh, val)
+    return out

@@ -43,9 +43,15 @@ class ShardedTrainState:
         self._step = _build_step(bundle, tx)
 
     def step(self, batch: Dict, rng, tr_sum_max_flag: bool = True):
-        batch = mesh_lib.shard_tree(
-            batch, mesh_lib.batch_shardings(batch, self.mesh)
-        )
+        if not all(
+            isinstance(leaf, jax.Array) for leaf in jax.tree.leaves(batch)
+        ):
+            # host batch: commit to the data axis. Multi-host feeding
+            # instead passes pre-assembled global arrays
+            # (mesh.global_batch_from_local), which skip this.
+            batch = mesh_lib.shard_tree(
+                batch, mesh_lib.batch_shardings(batch, self.mesh)
+            )
         self.params, self.opt_state, loss = self._step(
             self.params, self.opt_state, batch, self.tables, rng,
             tr_sum_max_flag=tr_sum_max_flag,

@@ -1,0 +1,121 @@
+"""Real multi-process distributed correctness (SURVEY.md §5.8: the
+introduced distributed backend must not preclude multi-host/DCN).
+
+Two localhost JAX processes (4 virtual CPU devices each) form one
+8-device cluster via jax.distributed.initialize + gloo collectives. Each
+feeds its own batch rows through mesh.global_batch_from_local, runs one
+sharded train step over the global {'data': 4, 'model': 2} mesh, then a
+packed eval over its data shard with cross-process counter reduction.
+Both processes' results must agree with the single-process 8-device run
+in THIS process (same params, same batch, same RNG).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "mp_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _single_process_expectation():
+    """Same computation as mp_worker, on this process's 8 virtual devices."""
+    import jax.numpy as jnp
+
+    from lirec_tpu import config as config_lib
+    from lirec_tpu.evaluation.packed import (
+        device_sweep_builder,
+        finish_from_carry,
+    )
+    from lirec_tpu.models.factory import create_model
+    from lirec_tpu.models.tabular import embed_all
+    from lirec_tpu.parallel.mesh import make_mesh
+    from lirec_tpu.parallel.step import make_sharded_train_step
+    from lirec_tpu.train.optim import make_optimizer
+    from lirec_tpu.utils.fake_batch import make_batch, make_tables
+
+    cfg = config_lib.preset("int_rel_ch", data_root="/tmp/x")
+    cfg = cfg.with_dims(text_dim=16, visual_dim=32, joint_dim=16)
+    cfg = cfg.with_runtime(compute_dtype="float32")
+    bundle = create_model(cfg, 11, n_rels=6)
+    tables = make_tables(bundle.spec, n_clips=32, n_tracks=48)
+    batch = make_batch(bundle.spec, 8, n_clips=32, n_tracks=48)
+
+    mesh = make_mesh(shape=(4, 2))
+    tx = make_optimizer(cfg.optim.lr, cfg.optim.weight_decay)
+    state = make_sharded_train_step(bundle, tx, mesh, bundle.params, tables)
+    loss = float(state.step(batch, jax.random.PRNGKey(0)))
+
+    t = cfg.tasks
+    init_carry, step = device_sweep_builder(bundle, t, 11, 6, 0)
+    jtables = jax.tree.map(jnp.asarray, tables)
+    embedded = jax.jit(lambda p, tb: embed_all(p, bundle.spec, tb))(
+        bundle.params, jtables
+    )
+    carry = init_carry()
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    for i in range(4):
+        sub = {k: v[i * 2 : (i + 1) * 2] for k, v in jb.items()}
+        carry = jax.jit(step)(bundle.params, jtables, embedded, carry, sub)
+    metrics = finish_from_carry(carry, t, 6, 0, "test", verbose=False)
+    return loss, {k: float(v) for k, v in metrics.items()}
+
+
+def test_two_process_cluster_matches_single_process(tmp_path):
+    port = _free_port()
+    procs, outs = [], []
+    for pid in range(2):
+        out = str(tmp_path / ("out_%d.json" % pid))
+        outs.append(out)
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)  # worker sets its own 4-device flag
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, WORKER, str(pid), str(port), out],
+                env=env,
+                cwd=REPO,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+        )
+    results = []
+    for p, out in zip(procs, outs):
+        stdout, stderr = p.communicate(timeout=300)
+        assert p.returncode == 0, (
+            "worker failed:\n%s\n%s" % (stdout.decode(), stderr.decode())
+        )
+        with open(out) as f:
+            results.append(json.load(f))
+
+    assert all(r["device_count"] == 8 for r in results)
+    loss, metrics = _single_process_expectation()
+
+    for r in results:
+        # sharded step over 2 processes == over 1 process (same mesh shape)
+        np.testing.assert_allclose(r["loss"], loss, rtol=1e-5, atol=1e-6)
+        assert set(r["metrics"]) == set(metrics)
+        for key in metrics:
+            np.testing.assert_allclose(
+                r["metrics"][key], metrics[key], rtol=1e-6, atol=1e-6,
+                err_msg="pid %d metric %r" % (r["pid"], key),
+            )
+    # both processes computed the SAME global metric dict
+    assert results[0]["metrics"] == results[1]["metrics"]
