@@ -53,8 +53,12 @@ def build_parser(preset_name: str) -> argparse.ArgumentParser:
     p.add_argument("--cache-workers", type=int, default=0,
                    help="thread pool size for feature precompute IO")
     p.add_argument("--fast-prng", action="store_true",
-                   help="use the rbg PRNG for dropout masks (~17%% faster "
-                        "train step; different random stream)")
+                   help="(default since r2; kept for compatibility) rbg "
+                        "PRNG for dropout masks")
+    p.add_argument("--strict-prng", action="store_true",
+                   help="threefry PRNG for dropout masks instead of the "
+                        "default rbg (~17%% slower train step; the r1 "
+                        "random stream)")
     p.add_argument("--drop-last", action="store_true",
                    help="drop the leftover train batch (non-parity: the "
                         "reference trains on it; avoids one jit shape)")
@@ -96,7 +100,9 @@ def config_from_args(preset_name: str, args) -> config_lib.ExperimentConfig:
         cfg = cfg.with_optim(batch_size=args.batch_size)
     if args.compute_dtype:
         cfg = cfg.with_runtime(compute_dtype=args.compute_dtype)
-    if args.fast_prng:
+    if args.strict_prng:
+        cfg = cfg.with_runtime(fast_prng=False)
+    elif args.fast_prng:
         cfg = cfg.with_runtime(fast_prng=True)
     if args.resume_path is not None:
         cfg = cfg.replace(resume_path=args.resume_path)
@@ -133,10 +139,9 @@ def run_entry(preset_name: str, argv=None) -> dict:
     cfg = config_from_args(preset_name, args)
     verbose = not args.quiet
     _enable_compilation_cache()
-    if cfg.runtime.fast_prng:
-        import jax
-
-        jax.config.update("jax_default_prng_impl", "rbg")
+    # fast_prng is honored by train/loop.py via an explicit rbg-typed base
+    # key — NOT by mutating the global default PRNG impl (which would also
+    # change param init and leak into the rest of the process)
 
     needs_rels = cfg.tasks.rels or cfg.tasks.rels_multitask
     train_split = TRAIN_SPLIT[preset_name]

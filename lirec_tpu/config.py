@@ -220,8 +220,10 @@ class Runtime:
     mesh_shape: Tuple[int, ...] = (1, 1)  # (data, model)
     use_native_ingest: bool = True  # C++ host ops when available
     # 'rbg' PRNG generates dropout masks ~6x faster on TPU (train step
-    # 9.6 -> 8.0 ms at B=64); different stream than the default threefry
-    fast_prng: bool = False
+    # 9.6 -> 8.0 ms at B=64). Default since r2: masks validated as
+    # unbiased/uncorrelated at the real shapes (tests/test_prng.py;
+    # PARITY.md 'dropout PRNG'). --strict-prng restores threefry.
+    fast_prng: bool = True
 
 
 @dataclass(frozen=True)

@@ -93,7 +93,15 @@ def train(
         train_dataset, o.batch_size, shuffle=True, seed=o.seed, dense=dense,
         drop_last=drop_last,
     )
-    base_rng = jax.random.PRNGKey(o.seed)
+    # rbg keys: ~6x faster dropout-mask generation on TPU, statistically
+    # validated (tests/test_prng.py). Param init stays threefry either way
+    # (create_model), so checkpoints/parity are unaffected — only the
+    # dropout/loss-sampling stream differs.
+    base_rng = (
+        jax.random.key(o.seed, impl="rbg")
+        if cfg.runtime.fast_prng
+        else jax.random.PRNGKey(o.seed)
+    )
 
     tr_sum_max_flag = t.tr_sum_max_flag
     metrics_log = MetricsLogger(metrics_log_path)
