@@ -33,9 +33,14 @@ def restore(
     payload = {"params": params_template, "epoch": 0}
     if opt_template is not None:
         payload["opt_state"] = opt_template
-    restored = _checkpointer().restore(
-        ops.abspath(path), item=payload
-    )
+        restored = _checkpointer().restore(ops.abspath(path), item=payload)
+    else:
+        # params-only read of a full train-state checkpoint (eval resume):
+        # skip whatever opt_state is on disk
+        restored = _checkpointer().restore(
+            ops.abspath(path),
+            args=ocp.args.PyTreeRestore(item=payload, partial_restore=True),
+        )
     return (
         restored["params"],
         restored.get("opt_state"),

@@ -48,6 +48,11 @@ def build_parser(preset_name: str) -> argparse.ArgumentParser:
                    help="append JSONL training telemetry to this path")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="save a resumable latest.ckpt every N epochs")
+    p.add_argument("--checkpoint-backend", default="msgpack",
+                   choices=["msgpack", "orbax"],
+                   help="train-state format: single msgpack file or an "
+                        "Orbax directory (atomic, sharded-array aware); "
+                        "resume auto-detects either")
     p.add_argument("--auto-resume", action="store_true",
                    help="continue from <store-root>/latest.ckpt if present")
     p.add_argument("--cache-workers", type=int, default=0,
@@ -112,6 +117,11 @@ def config_from_args(preset_name: str, args) -> config_lib.ExperimentConfig:
 
 
 def load_checkpoint_params(path: str, template=None):
+    if os.path.isdir(path):  # Orbax checkpoints are directories
+        from lirec_tpu.checkpoint import orbax_backend
+
+        params, _, _ = orbax_backend.restore(path, template)
+        return params
     if path.endswith((".pth.tar", ".pth", ".tar")):
         params, _ = load_torch_checkpoint(path)
         return params
@@ -181,11 +191,11 @@ def run_entry(preset_name: str, argv=None) -> dict:
             if os.path.exists(latest):
                 resume_from = latest
         if resume_from:
-            from lirec_tpu.checkpoint import load_train_state
+            from lirec_tpu.checkpoint import load_train_state_any
             from lirec_tpu.train.optim import make_optimizer
 
             tx = make_optimizer(cfg.optim.lr, cfg.optim.weight_decay)
-            params, opt_state, epoch = load_train_state(
+            params, opt_state, epoch = load_train_state_any(
                 resume_from, params, tx.init(params)
             )
             start_epoch = epoch + 1
@@ -201,6 +211,7 @@ def run_entry(preset_name: str, argv=None) -> dict:
             metrics_log_path=args.metrics_log or None,
             checkpoint_every=args.checkpoint_every,
             drop_last=args.drop_last,
+            checkpoint_backend=args.checkpoint_backend,
         )
         params = out["params"]
         results["train"] = {"losses": out["losses"]}

@@ -19,7 +19,8 @@ import jax
 import numpy as np
 import optax
 
-from lirec_tpu.checkpoint.saver import BestNSaver, save_train_state
+from lirec_tpu.checkpoint import save_train_state_any
+from lirec_tpu.checkpoint.saver import BestNSaver
 from lirec_tpu.data.pipeline import BatchIterator, prefetch_to_device
 from lirec_tpu.evaluation.runner import evaluate
 from lirec_tpu.train.optim import make_optimizer
@@ -75,6 +76,7 @@ def train(
     start_epoch: int = 0,
     checkpoint_every: int = 0,
     drop_last: bool = False,
+    checkpoint_backend: str = "msgpack",
 ) -> Dict:
     """Run the epoch loop; returns {'params', 'opt_state', 'saver',
     'final_path'} (control flow: ref mlp/train.py:41-107)."""
@@ -190,9 +192,9 @@ def train(
         ):
             # crash-resilience checkpoint (the reference has no failure
             # recovery, SURVEY.md §5.3); pick up with auto-resume
-            save_train_state(
+            save_train_state_any(
                 ops.join(cfg.paths.store_root, "latest.ckpt"),
-                params, opt_state, epoch,
+                params, opt_state, epoch, backend=checkpoint_backend,
             )
 
     final_path = ""
@@ -200,7 +202,10 @@ def train(
         final_path = ops.join(cfg.paths.store_root, "%d.ckpt" % (o.epochs - 1))
         # weights + optimizer state, so training can resume
         # (ref mlp/train.py:99-106)
-        save_train_state(final_path, params, opt_state, o.epochs - 1)
+        save_train_state_any(
+            final_path, params, opt_state, o.epochs - 1,
+            backend=checkpoint_backend,
+        )
         saver.save()
     return {
         "params": params,

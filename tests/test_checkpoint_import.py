@@ -155,6 +155,81 @@ def test_state_dict_malformed_key_error():
         params_from_torch_state_dict({"layer.unknown_kind": np.zeros((2, 2))})
 
 
+def test_orbax_roundtrip_sharded(tmp_path):
+    """Orbax backend: params + opt_state + epoch round-trip with arrays
+    sharded over the 8-device mesh (its reason to exist: multi-host
+    checkpointing; ref utils/model_saver.py persistence surface)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    from lirec_tpu.checkpoint import orbax_backend
+    from lirec_tpu.parallel.mesh import make_mesh, param_shardings, shard_tree
+    from lirec_tpu.train.optim import make_optimizer
+
+    cfg = config_lib.preset("int_rel_ch", data_root="/tmp/x")
+    cfg = cfg.with_dims(text_dim=TEXT, visual_dim=VIS, joint_dim=JOINT)
+    bundle = create_model(cfg.with_runtime(compute_dtype="float32"), 7,
+                          n_rels=6)
+    mesh = make_mesh(shape=(4, 2))
+    shardings = param_shardings(bundle.params, mesh, gates=True)
+    params = shard_tree(bundle.params, shardings)
+    tx = make_optimizer(1e-3, 1e-5)
+    opt_state = jax.jit(tx.init)(params)
+
+    path = str(tmp_path / "orbax_ckpt")
+    orbax_backend.save(path, params, opt_state=opt_state, epoch=17)
+
+    restored_p, restored_o, epoch = orbax_backend.restore(
+        path, bundle.params, tx.init(bundle.params)
+    )
+    assert epoch == 17
+    import numpy as np
+
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored_p)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(restored_o)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_backend_cli_roundtrip(synth_root, tmp_path):
+    """--checkpoint-backend orbax through the CLI: train writes Orbax
+    directories, auto-resume and eval-resume read them back."""
+    from lirec_tpu.cli.common import run_entry
+
+    store = str(tmp_path / "store")
+    dims = ["--text-dim", "16", "--visual-dim", "32", "--text-layers", "4",
+            "--joint-dim", "16", "--compute-dtype", "float32"]
+    args = ["--data-root", synth_root, "--store-root", store,
+            "--batch-size", "8", "--quiet"] + dims
+    out = run_entry(
+        "int_ch",
+        args + ["--train", "--epochs", "2", "--checkpoint-backend", "orbax",
+                "--checkpoint-every", "1"],
+    )
+    assert len(out["train"]["losses"]) == 2
+    import os
+
+    assert os.path.isdir(os.path.join(store, "latest.ckpt"))
+    assert os.path.isdir(os.path.join(store, "1.ckpt"))
+
+    # continue training from the orbax latest.ckpt (auto-detected)
+    out2 = run_entry(
+        "int_ch",
+        args + ["--train", "--epochs", "3", "--auto-resume",
+                "--checkpoint-backend", "orbax"],
+    )
+    assert len(out2["train"]["losses"]) == 1  # epochs 2..2
+
+    # eval-resume from the orbax final checkpoint (a directory)
+    out3 = run_entry(
+        "int_ch", args + ["--resume-path", os.path.join(store, "2.ckpt")]
+    )
+    for split in ("val", "test"):
+        assert np.isfinite(out3[split]["loss"])
+
+
 def test_convert_checkpoint_cli(tmp_path):
     import torch
 
