@@ -69,7 +69,7 @@ def bench_jax(batch_size: int, iters: int, warmup: int, compute_dtype: str):
     import functools
 
     @functools.partial(jax.jit, static_argnames=("use_pallas",))
-    def sweep(params, stacked, tables, n, use_pallas=False):
+    def sweep(params, stacked, tables, n, use_pallas=None):
         # table embeddings amortize over the sweep, as in the eval runner
         embedded = embed_all(params, bundle.spec, tables)
 
@@ -94,16 +94,18 @@ def bench_jax(batch_size: int, iters: int, warmup: int, compute_dtype: str):
     params = jax.device_put(bundle.params)
     log("compiling sweep (%s)..." % jax.default_backend())
     # Measured on v5e (B=64, ablation via this same slope method):
-    # - pallas gather-pool wins in isolation (0.37 vs 0.55 ms/call) but
-    #   LOSES inside the full fused program (1.37 vs 0.85 ms/step): the
-    #   pallas_calls serialize against XLA's fusion/overlap. Off by default.
-    # - bf16 feature tables are also slower (0.92 vs 0.85 ms/step): gather
+    # - r2: ONE fused pallas kernel (3-table gather + masked mean + tanh,
+    #   ops/gather_pool.fused_ctx_pool) WINS in-program: 0.89 -> 0.58
+    #   ms/step. The r1 3-call version lost (0.85 -> 1.37): each
+    #   pallas_call boundary blocked XLA fusion/overlap. Default-on via
+    #   use_pallas=None (auto: TPU + shapes fit).
+    # - bf16 feature tables are slower (0.92 vs 0.85 ms/step): gather
     #   of 16-bit rows packs lanes worse than the halved bytes save.
     # - the loss costs ~0.06 ms of the step (fwd-only 0.79 ms).
     # - the training step (hybrid packed forward: table-level first layers,
-    #   per-use dropout+second layers; fwd+bwd+Adam) is ~9.6 ms/step
-    #   (~6.7k clips/sec); was 11.6 ms with gather-then-embed.
-    use_pallas = False
+    #   per-use dropout+second layers; fwd+bwd+Adam) is ~8.0 ms/step with
+    #   the rbg PRNG default; was 11.6 ms with gather-then-embed.
+    use_pallas = None
     t0 = time.time()
     float(sweep(params, stacked, tables, 2, use_pallas))
     log("compile+first run: %.1fs" % (time.time() - t0))

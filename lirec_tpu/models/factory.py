@@ -32,7 +32,7 @@ def apply_model(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
     use_tabular: Optional[bool] = None,
-    use_pallas: bool = False,
+    use_pallas: Optional[bool] = None,  # None=auto: fused kernel on TPU
     embedded: Optional[Dict] = None,
     context_axis: Optional[str] = None,
 ) -> Dict:

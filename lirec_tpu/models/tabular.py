@@ -88,39 +88,60 @@ def _constrain_context(x: jnp.ndarray, context_axis: Optional[str]):
 
 def _pooled_ctx(
     emb: EmbeddedTables, idx: jnp.ndarray, mask: jnp.ndarray,
-    guard_zero_divide: bool, use_pallas: bool = False,
+    guard_zero_divide: bool,
     context_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Masked mean over the context axis of gathered embeddings.
 
-    idx: [N, R, 3]; mask: [N, R] -> [N, 3*joint].
+    idx: [N, R, 3]; mask: [N, R] -> [N, 3*joint]. (The pallas variant —
+    ops/gather_pool.fused_ctx_pool — also folds in the divide + tanh.)
     """
     m = mask
     divider = m.sum(axis=-1, keepdims=True)
     if guard_zero_divide:
         divider = jnp.where(divider == 0, 1.0, divider)
-    if use_pallas:
-        from lirec_tpu.ops.gather_pool import gather_masked_sum
+    w = m[..., None]
 
-        parts = [
-            gather_masked_sum(emb.clip, idx[..., 0], m),
-            gather_masked_sum(emb.tr1, idx[..., 1], m),
-            gather_masked_sum(emb.tr2, idx[..., 2], m),
-        ]
-        pooled = jnp.concatenate(parts, axis=-1)
-    else:
-        w = m[..., None]
+    def pool(tab, which):
+        g = tab[idx[..., which]]  # [N, R, d]
+        g = _constrain_context(g, context_axis)
+        return (g * w.astype(g.dtype)).sum(axis=-2)
 
-        def pool(tab, which):
-            g = tab[idx[..., which]]  # [N, R, d]
-            g = _constrain_context(g, context_axis)
-            return (g * w.astype(g.dtype)).sum(axis=-2)
-
-        pooled = jnp.concatenate(
-            [pool(emb.clip, 0), pool(emb.tr1, 1), pool(emb.tr2, 2)],
-            axis=-1,
-        )
+    pooled = jnp.concatenate(
+        [pool(emb.clip, 0), pool(emb.tr1, 1), pool(emb.tr2, 2)],
+        axis=-1,
+    )
     return pooled / divider.astype(pooled.dtype)
+
+
+def _ctx_branch(
+    emb: EmbeddedTables,
+    idx: jnp.ndarray,
+    mask: jnp.ndarray,
+    guard_zero_divide: bool,
+    use_pallas,
+    context_axis: Optional[str],
+) -> jnp.ndarray:
+    """tanh(masked-mean(pooled concat)) of the ctx branch.
+
+    use_pallas: None = auto (the fused pallas kernel on TPU when shapes
+    fit — 0.89 -> 0.58 ms/step at real dims, BENCH.md r2 ablation; the jnp
+    path elsewhere), True = force the kernel, False = force jnp (required
+    for context-axis sharding, which partitions the jnp reduction).
+    """
+    if use_pallas is not False and not context_axis:
+        from lirec_tpu.ops.gather_pool import fused_ctx_pool
+
+        return fused_ctx_pool(
+            emb, idx, mask, guard_zero_divide=guard_zero_divide,
+            force="pallas" if use_pallas else "auto",
+        )
+    return jnp.tanh(
+        _pooled_ctx(
+            emb, idx, mask, guard_zero_divide=guard_zero_divide,
+            context_axis=context_axis,
+        )
+    )
 
 
 def embed_all(params: Dict, spec, tables: Dict) -> Dict[str, EmbeddedTables]:
@@ -140,7 +161,7 @@ def midfusion_maxtracks_tabular(
     tables: Dict,
     feat_idx: jnp.ndarray,
     rels_mask: Optional[jnp.ndarray] = None,
-    use_pallas: bool = False,
+    use_pallas: Optional[bool] = None,
     embedded: Optional[Dict[str, EmbeddedTables]] = None,
     context_axis: Optional[str] = None,
 ) -> Dict[str, Optional[jnp.ndarray]]:
@@ -169,11 +190,8 @@ def midfusion_maxtracks_tabular(
         )
         flat_idx = feat_idx[:, :, 1:, :].reshape(B * T, -1, 3)
         flat_mask = rels_mask.reshape(B * T, -1).astype(jnp.float32)
-        output_ctx = jnp.tanh(
-            _pooled_ctx(
-                emb_c, flat_idx, flat_mask, guard_zero_divide=True,
-                use_pallas=use_pallas, context_axis=context_axis,
-            )
+        output_ctx = _ctx_branch(
+            emb_c, flat_idx, flat_mask, True, use_pallas, context_axis
         )
     if spec.gates:
         output_ints = gate_apply(
@@ -200,7 +218,7 @@ def midfusion_tabular(
     tables: Dict,
     feat_idx: jnp.ndarray,
     rels_mask: Optional[jnp.ndarray] = None,
-    use_pallas: bool = False,
+    use_pallas: Optional[bool] = None,
     embedded: Optional[Dict[str, EmbeddedTables]] = None,
     context_axis: Optional[str] = None,
 ) -> Dict[str, Optional[jnp.ndarray]]:
@@ -224,11 +242,8 @@ def midfusion_tabular(
             embed_tables(params, "ctx", tables, spec)
         )
         mask = rels_mask.reshape(B, -1).astype(jnp.float32)
-        output_ctx = jnp.tanh(
-            _pooled_ctx(
-                emb_c, feat_idx[:, 1:, :], mask, guard_zero_divide=False,
-                use_pallas=use_pallas, context_axis=context_axis,
-            )
+        output_ctx = _ctx_branch(
+            emb_c, feat_idx[:, 1:, :], mask, False, use_pallas, context_axis
         )
     if spec.gates:
         output_ints = gate_apply(

@@ -20,7 +20,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["gather_masked_sum", "gather_masked_sum_reference"]
+__all__ = [
+    "gather_masked_sum",
+    "gather_masked_sum_reference",
+    "fused_ctx_pool",
+]
 
 TILE_M = 8  # f32 sublane count
 
@@ -103,6 +107,160 @@ def _supported(table, idx) -> bool:
         and D % 128 == 0
         and vmem_bytes < 12 * 1024 * 1024
     )
+
+
+def _make_fused_kernel(r_count: int, d_clip: int, d_tr: int,
+                       tile_m: int = TILE_M):
+    def _kernel(idx_ref, mask_ref, clip_ref, tr1_ref, tr2_ref, out_ref):
+        """One grid step computes TILE_M fused tanh(pooled-concat) rows.
+
+        idx_ref:  SMEM [M*R*3] flat index triples (scalar-prefetched)
+        mask_ref: SMEM [M*(R+1)] flat: R mask scalars then 1 divider
+        clip_ref: VMEM [Nc, d_clip]; tr1/tr2_ref: VMEM [Nt, d_tr]
+        out_ref:  VMEM [TILE_M, d_clip + 2*d_tr]
+        """
+        from jax.experimental import pallas as pl
+
+        tile = pl.program_id(0)
+
+        def row_body(m, _):
+            row = tile * tile_m + m
+            base = row * r_count * 3
+            mbase = row * (r_count + 1)
+
+            def ctx_body(r, accs):
+                acc_c, acc_1, acc_2 = accs
+                w = mask_ref[mbase + r]
+                i0 = idx_ref[base + r * 3]
+                i1 = idx_ref[base + r * 3 + 1]
+                i2 = idx_ref[base + r * 3 + 2]
+                return (
+                    acc_c + w * clip_ref[i0, :],
+                    acc_1 + w * tr1_ref[i1, :],
+                    acc_2 + w * tr2_ref[i2, :],
+                )
+
+            acc_c, acc_1, acc_2 = jax.lax.fori_loop(
+                0,
+                r_count,
+                ctx_body,
+                (
+                    jnp.zeros((d_clip,), clip_ref.dtype),
+                    jnp.zeros((d_tr,), tr1_ref.dtype),
+                    jnp.zeros((d_tr,), tr2_ref.dtype),
+                ),
+            )
+            inv = mask_ref[mbase + r_count]  # precomputed 1/divider
+            out_ref[m, :d_clip] = jnp.tanh(acc_c * inv)
+            out_ref[m, d_clip : d_clip + d_tr] = jnp.tanh(acc_1 * inv)
+            out_ref[m, d_clip + d_tr :] = jnp.tanh(acc_2 * inv)
+            return 0
+
+        jax.lax.fori_loop(0, tile_m, row_body, 0)
+
+    return _kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("guard_zero", "interpret", "tile_m")
+)
+def _fused_pallas_call(clip, tr1, tr2, idx, mask, guard_zero,
+                       interpret=False, tile_m=TILE_M):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, R, _ = idx.shape
+    d_clip, d_tr = clip.shape[1], tr1.shape[1]
+    divider = mask.sum(axis=-1, keepdims=True)
+    if guard_zero:
+        divider = jnp.where(divider == 0, 1.0, divider)
+    packed_mask = jnp.concatenate(
+        [mask.astype(clip.dtype), (1.0 / divider).astype(clip.dtype)], axis=1
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # idx, mask+divider
+        grid=(M // tile_m,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # clip table
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tr1 table
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tr2 table
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_m, d_clip + 2 * d_tr),
+            lambda i, *_: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        _make_fused_kernel(R, d_clip, d_tr, tile_m),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, d_clip + 2 * d_tr), clip.dtype),
+        interpret=interpret,
+    )(idx.reshape(-1), packed_mask.reshape(-1), clip, tr1, tr2)
+
+
+def fused_ctx_pool(
+    emb,
+    idx: jnp.ndarray,
+    mask: jnp.ndarray,
+    guard_zero_divide: bool,
+    force: str = "auto",
+    tile_m: int = TILE_M,
+) -> jnp.ndarray:
+    """tanh(concat(pool(clip), pool(tr1), pool(tr2)) / divider) in ONE
+    pallas_call (the r1 version made three — each boundary blocked XLA's
+    fusion/overlap and the full program regressed; see BENCH.md ablations).
+
+    emb: models/tabular.EmbeddedTables; idx: [M, R, 3]; mask: [M, R] float.
+    force: 'auto' | 'pallas' | 'reference' | 'interpret'
+    """
+    idx = jnp.asarray(idx, jnp.int32)
+    mask = jnp.asarray(mask)
+
+    def reference():
+        divider = mask.sum(axis=-1, keepdims=True)
+        if guard_zero_divide:
+            divider = jnp.where(divider == 0, 1.0, divider)
+        w = mask[..., None]
+
+        def pool(tab, which):
+            g = tab[idx[..., which]]
+            return (g * w.astype(g.dtype)).sum(axis=-2)
+
+        pooled = jnp.concatenate(
+            [pool(emb.clip, 0), pool(emb.tr1, 1), pool(emb.tr2, 2)], axis=-1
+        )
+        return jnp.tanh(pooled / divider.astype(pooled.dtype))
+
+    if force == "reference":
+        return reference()
+    ok = (
+        idx.shape[0] % tile_m == 0
+        and emb.clip.shape[1] % 128 == 0
+        and emb.tr1.shape[1] % 128 == 0
+        # v5e VMEM is 128 MiB; leave room for output tiles + pipelining
+        and (
+            emb.clip.size + emb.tr1.size + emb.tr2.size
+        ) * emb.clip.dtype.itemsize < 96 * 1024 * 1024
+    )
+    if force in ("interpret", "pallas") and not ok:
+        raise ValueError(
+            "fused_ctx_pool kernel needs M %% %d == 0, dims %% 128 == 0, "
+            "tables resident in VMEM; got clip %s tr %s idx %s"
+            % (tile_m, emb.clip.shape, emb.tr1.shape, idx.shape)
+        )
+    if force == "interpret":
+        return _fused_pallas_call(
+            emb.clip, emb.tr1, emb.tr2, idx, mask, guard_zero_divide,
+            interpret=True, tile_m=tile_m,
+        )
+    on_tpu = jax.default_backend() == "tpu"
+    if force == "pallas" or (force == "auto" and on_tpu and ok):
+        return _fused_pallas_call(
+            emb.clip, emb.tr1, emb.tr2, idx, mask, guard_zero_divide,
+            tile_m=tile_m,
+        )
+    return reference()
 
 
 def gather_masked_sum(

@@ -31,3 +31,55 @@ def test_dispatch_falls_back_on_cpu():
         np.asarray(gather_masked_sum_reference(table, idx, mask)),
         atol=1e-6,
     )
+
+
+def _fused_inputs(M=16, R=18, Nc=32, Nt=48, Dc=256, Dt=128, seed=0,
+                  zero_row=False):
+    import jax.numpy as jnp
+
+    from lirec_tpu.models.tabular import EmbeddedTables
+
+    rng = np.random.default_rng(seed)
+    emb = EmbeddedTables(
+        clip=jnp.asarray(rng.standard_normal((Nc, Dc)), jnp.float32),
+        tr1=jnp.asarray(rng.standard_normal((Nt, Dt)), jnp.float32),
+        tr2=jnp.asarray(rng.standard_normal((Nt, Dt)), jnp.float32),
+    )
+    idx = np.stack(
+        [rng.integers(0, Nc, (M, R)), rng.integers(0, Nt, (M, R)),
+         rng.integers(0, Nt, (M, R))], axis=-1,
+    ).astype(np.int32)
+    mask = (rng.random((M, R)) < 0.4).astype(np.float32)
+    if zero_row:
+        mask[0] = 0  # exercises the zero-divider guard
+    return emb, jnp.asarray(idx), jnp.asarray(mask)
+
+
+@pytest.mark.parametrize("guard", [True, False])
+@pytest.mark.parametrize("tile_m", [8, 16])
+def test_fused_ctx_pool_interpret(guard, tile_m):
+    """The default-on fused kernel (gathers + masked mean + tanh in one
+    pallas_call) vs its jnp reference."""
+    from lirec_tpu.ops.gather_pool import fused_ctx_pool
+
+    emb, idx, mask = _fused_inputs(zero_row=guard)
+    ref = fused_ctx_pool(emb, idx, mask, guard, force="reference")
+    out = fused_ctx_pool(emb, idx, mask, guard, force="interpret",
+                         tile_m=tile_m)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_ctx_pool_matches_model_path():
+    """auto dispatch on CPU (reference) must equal the model's jnp ctx
+    branch — the values the parity suite is golden against."""
+    import jax.numpy as jnp
+
+    from lirec_tpu.models.tabular import _pooled_ctx
+    from lirec_tpu.ops.gather_pool import fused_ctx_pool
+
+    emb, idx, mask = _fused_inputs(seed=3)
+    via_kernel_api = fused_ctx_pool(emb, idx, mask, True)  # auto: CPU -> jnp
+    via_model = jnp.tanh(_pooled_ctx(emb, idx, mask, guard_zero_divide=True))
+    np.testing.assert_allclose(
+        np.asarray(via_kernel_api), np.asarray(via_model), atol=1e-6
+    )
