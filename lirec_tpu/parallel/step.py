@@ -60,7 +60,11 @@ class ShardedTrainState:
 
 
 def _build_step(bundle, tx):
-    @functools.partial(jax.jit, static_argnames=("tr_sum_max_flag",))
+    # opt_state donated: ShardedTrainState rebinds it every step and nothing
+    # else holds the moments (see train/loop.make_train_step note)
+    @functools.partial(
+        jax.jit, static_argnames=("tr_sum_max_flag",), donate_argnums=(1,)
+    )
     def step(params, opt_state, batch, tables, rng, tr_sum_max_flag=True):
         rng_drop, rng_loss = jax.random.split(rng)
         model_batch = {k: batch[k] for k in MODEL_KEYS if k in batch}

@@ -35,10 +35,15 @@ def make_train_step(bundle, tx):
     """Build the jitted (params, opt_state, batch, tables, rng) -> update
     step. `tables` ride through jit as regular (shardable) arguments."""
 
-    # NOTE: params/opt_state are deliberately NOT donated — callers hold on
-    # to initial params (parity tests, BestNSaver snapshots, re-evaluation),
+    # NOTE: params are deliberately NOT donated — callers hold on to
+    # initial params (parity tests, BestNSaver snapshots, re-evaluation),
     # and donation would invalidate those references on the next step.
-    @functools.partial(jax.jit, static_argnames=("tr_sum_max_flag",))
+    # opt_state IS donated: nothing outside the loop holds Adam moments
+    # (checkpointing reads the CURRENT state before the next step runs),
+    # and donation lets XLA update the 2x18.4M-float moments in place.
+    @functools.partial(
+        jax.jit, static_argnames=("tr_sum_max_flag",), donate_argnums=(1,)
+    )
     def step(params, opt_state, batch, tables, rng, tr_sum_max_flag=True):
         rng_drop, rng_loss = jax.random.split(rng)
         model_batch = {k: batch[k] for k in MODEL_KEYS if k in batch}
