@@ -24,7 +24,77 @@ import warnings
 from collections import OrderedDict, defaultdict
 from typing import Dict, Iterator, List, Optional, Sequence, Union
 
-__all__ = ["Digraph", "ClipGraph", "MovieGraph", "load_graphs", "iter_movies"]
+__all__ = [
+    "Digraph",
+    "ClipGraph",
+    "MovieGraph",
+    "load_graphs",
+    "iter_movies",
+    "get_relationship_directions",
+    "load_movie_graph",
+]
+
+
+def get_relationship_directions(vocab: dict) -> Dict[str, str]:
+    """relationship value -> 'directed' | 'undirected', from a MovieGraphs
+    vocabulary dict (ref GraphClasses.py:44-58, which reads the global
+    ``data_loaders.VOCAB``; here the vocab is an argument).
+
+    Deliberate fix: the reference builds the dict but falls off the end
+    without returning it (its only caller is commented out, so the bug is
+    invisible there); this returns the mapping.
+    """
+    rel_directions: Dict[str, str] = {}
+    for group in vocab.get("relationships", []):
+        for entry in group.get("values", []):
+            desc = entry.get("description", "")
+            if "(directed)" in desc:
+                rel_directions[entry["value"]] = "directed"
+            elif "(undirected)" in desc:
+                rel_directions[entry["value"]] = "undirected"
+    return rel_directions
+
+
+def load_movie_graph(movie: str, user_dirs: Sequence[str],
+                     castlist: Optional[List[dict]] = None) -> "MovieGraph":
+    """Build a MovieGraph from per-user annotation JSON dumps
+    (ref GraphClasses.py:21-41: copy latest annots across users, then one
+    ClipGraph per scene JSON with chids attached).
+
+    Each directory in ``user_dirs`` is one annotator's dump for ``movie``
+    (files named ``<sid>.json`` or ``scene-<sid>*.json``). When several
+    users annotated the same scene, the most recently modified file wins —
+    the behavior of the reference's ``copy_latest_annots``. Unparseable
+    files are skipped with a warning (ref :38-39).
+    """
+    latest: Dict[str, str] = {}  # scene key -> newest path
+    for d in user_dirs:
+        if not os.path.isdir(d):
+            continue
+        for fname in sorted(os.listdir(d)):
+            if not fname.endswith(".json"):
+                continue
+            path = os.path.join(d, fname)
+            key = fname.split(".")[0]
+            if key not in latest or (
+                os.path.getmtime(path) > os.path.getmtime(latest[key])
+            ):
+                latest[key] = path
+
+    movie_graph = MovieGraph(movie, castlist=castlist)
+    for sid, path in sorted(latest.items()):
+        try:
+            with open(path) as f:
+                graph_json = json.load(f)
+            clip = ClipGraph(graph_json)
+            if castlist is not None:
+                clip.add_chid_to_entities(castlist)
+            movie_graph.add_clip_graph(sid, clip)
+        except (ValueError, KeyError):
+            warnings.warn(
+                "Failed to load or create CG from json file: %s" % path
+            )
+    return movie_graph
 
 
 class Digraph:
@@ -60,6 +130,10 @@ class Digraph:
 
     def nodes(self) -> List[int]:
         return list(self.node)
+
+    def edges(self) -> List[tuple]:
+        """All (u, v) directed edges, u in insertion order."""
+        return [(u, v) for u in self.node for v in sorted(self._succ[u])]
 
     def __contains__(self, nid: int) -> bool:
         return nid in self.node
@@ -332,13 +406,132 @@ class ClipGraph:
             nid += 1
         return nid
 
+    # -- authoring/castlist API (runs when building the graph pickle, never
+    # at train/eval time; ref GraphClasses.py:155-174,424-474,572-590) ------
+
+    def add_chid_to_entities(self, castlist: List[dict]) -> None:
+        """Attach the castlist character id to every entity node: the
+        entity's ``node_id`` indexes the castlist; out-of-range ids are
+        unlisted characters, marked '---' (ref :155-166)."""
+        for nid in self.G.nodes():
+            if self.node_type(nid) == "entity":
+                node_id = self.G.node[nid].get("node_id")
+                if node_id is not None and node_id < len(castlist):
+                    self.G.node[nid]["chid"] = castlist[node_id]["chid"]
+                else:
+                    self.G.node[nid]["chid"] = "---"
+
+    def check_chid_mappings(self, castlist: List[dict],
+                            verbose: bool = True) -> List[tuple]:
+        """Entity -> chid -> castlist-name audit table (ref :168-174,
+        which only prints; returned here so callers can assert on it)."""
+        rows = []
+        for nid in self.G.nodes():
+            if self.node_type(nid) == "entity":
+                chid = self.G.node[nid].get("chid")
+                names = [c["name"] for c in castlist if c["chid"] == chid]
+                rows.append((nid, self.node_name(nid), chid, names))
+                if verbose:
+                    print("%4d | %-40s | %-15s | %s" % rows[-1])
+        return rows
+
+    def resolve_edges(self, rel_directions: Optional[Dict[str, str]] = None
+                      ) -> None:
+        """Fix up missing edge information (ref :424-474):
+
+        1. make entity<->attribute edges bidirectional;
+        2. flag redundant same-name relationship/interaction nodes between
+           the same entity pair (`check_triplets_collapse`);
+        3. (transitivity collapse: not implemented in the reference either);
+        4. force relationships the vocabulary marks undirected to be
+           bidirectional, and reject undirected edges on directed ones.
+        """
+        # 1. attributes bidirectional (ref :433-438)
+        for u, v in list(self.G.edges()):
+            tu, tv = self.node_type(u), self.node_type(v)
+            if tu == "entity" and tv == "attribute":
+                self.G.add_edge(v, u)
+            if tv == "entity" and tu == "attribute":
+                self.G.add_edge(u, v)
+
+        # 2. redundant mediator nodes (ref :440-455). Deliberate fix: the
+        # reference compares t1[2] == t1[0] (a self-loop, which
+        # find_all_triplets already excludes, so its check can never fire —
+        # its own TODO notes the bug); the intended t1[2] == t2[0] is used.
+        self.check_triplets_collapse("relationship")
+        self.check_triplets_collapse("interaction")
+
+        # 4. vocabulary-declared directions (ref :461-474)
+        if rel_directions:
+            rel_triplets = self.find_all_triplets("relationship")
+            for e1, rel, e2 in rel_triplets:
+                direction = rel_directions.get(self.node_name(rel))
+                if direction == "directed":
+                    if (e2, rel, e1) in rel_triplets:
+                        raise RuntimeError(
+                            "should be directed, was undirected")
+                elif direction == "undirected":
+                    if (e2, rel, e1) not in rel_triplets:
+                        self.G.add_edge(e2, rel)
+                        self.G.add_edge(rel, e1)
+
+    def check_triplets_collapse(self, t_type: str) -> None:
+        """Raise when two distinct same-name ``t_type`` nodes mediate the
+        same entity pair in opposite directions — they should be one node
+        (ref :440-452)."""
+        import itertools
+
+        triplets = self.find_all_triplets(t_type)
+        for t1, t2 in itertools.combinations(triplets, 2):
+            if (
+                t1[1] != t2[1]
+                and t1[0] == t2[2]
+                and t1[2] == t2[0]
+                and self.node_name(t1[1]) == self.node_name(t2[1])
+            ):
+                raise RuntimeError("Unnecessary extra %s node." % t_type)
+
+    def pprint(self) -> None:
+        """Pretty-print the clip graph summary (ref :572-590)."""
+        print("Clips:", self.video["fname"])
+        print("Situation:", self.situation)
+        print("Scene label:", self.scene_label)
+        print("Description:", self.description[:80])
+        print("Graph information:")
+        for label, ntype in (
+            ("Characters", "entity"),
+            ("Relationships", "relationship"),
+            ("Interactions", "interaction"),
+            ("Attributes", "attribute"),
+            ("Actions", "action"),
+        ):
+            count = sum(
+                1 for n in self.G.nodes() if self.node_type(n) == ntype
+            )
+            print("  %s: %d" % (label, count))
+
 
 class MovieGraph:
     """All clip graphs of one movie (ref GraphClasses.py:588-614)."""
 
-    def __init__(self, imdb_key: str):
+    def __init__(self, imdb_key: str, castlist: Optional[List[dict]] = None):
         self.imdb_key = imdb_key
+        if castlist:
+            self.castlist = castlist
         self.clip_graphs: "OrderedDict[int, ClipGraph]" = OrderedDict()
+
+    def attach_information(self, castlist=None, mergers=None,
+                           scenes_gt=None, sid_clip=None) -> None:
+        """Attach authoring-side metadata after construction
+        (ref GraphClasses.py:601-609)."""
+        if castlist:
+            self.castlist = castlist
+        if mergers:
+            self.mergers = mergers
+        if scenes_gt:
+            self.scenes_gt = scenes_gt
+        if sid_clip:
+            self.sid_clip = sid_clip
 
     def add_clip_graph(self, idx: int, clip: ClipGraph) -> None:
         self.clip_graphs[idx] = clip

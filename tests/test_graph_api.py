@@ -141,3 +141,126 @@ def test_topic_and_aux_queries(synth_cfg):
     assert aux and all(isinstance(x, tuple) for x in aux)
     neigh = clip.get_aux_info(inter_id, ntypes=("topic",))
     assert neigh == [(tid, "money")]
+
+
+# -- authoring/castlist surface (ref GraphClasses.py:21-58,155-174,424-474,
+# 572-590; runs when building the pickle, never at train/eval time) --------
+
+
+def _authoring_clip_json(extra_edges=(), rel2="friend"):
+    nodes = [
+        {"id": 0, "type": "entity", "name": "Ann", "node_id": 0},
+        {"id": 1, "type": "entity", "name": "Bob", "node_id": 1},
+        {"id": 2, "type": "entity", "name": "Zed", "node_id": 99},  # unlisted
+        {"id": 3, "type": "relationship", "name": "friend"},
+        {"id": 4, "type": "attribute", "name": "age:old"},
+        {"id": 5, "type": "interaction", "name": "greets"},
+        {"id": 6, "type": "relationship", "name": rel2},
+        {"id": 7, "type": "relationship", "name": "boss"},
+    ]
+    edges = [
+        {"source": 0, "target": 3}, {"source": 3, "target": 1},
+        {"source": 0, "target": 4},  # entity -> attribute (one-way)
+        {"source": 0, "target": 5}, {"source": 5, "target": 1},
+        {"source": 0, "target": 7}, {"source": 7, "target": 1},
+    ] + list(extra_edges)
+    return {
+        "situation": "meeting", "scene": "office",
+        "sentence_description": "Ann greets Bob.",
+        "video": ["m/tt0000001/scene-001.ss-0000.es-0010.mp4"],
+        "nodes": nodes, "edges": edges,
+    }
+
+
+CASTLIST = [{"chid": "ch1", "name": "Ann X"}, {"chid": "ch2", "name": "Bob Y"}]
+VOCAB = {"relationships": [{"values": [
+    {"value": "friend", "description": "pals (undirected)"},
+    {"value": "boss", "description": "superior (directed)"},
+]}]}
+
+
+def test_relationship_directions_vocab():
+    dirs = graphs.get_relationship_directions(VOCAB)
+    assert dirs == {"friend": "undirected", "boss": "directed"}
+
+
+def test_chid_mapping_and_audit(capsys):
+    clip = graphs.ClipGraph(_authoring_clip_json())
+    clip.add_chid_to_entities(CASTLIST)
+    assert clip.G.node[0]["chid"] == "ch1"
+    assert clip.G.node[1]["chid"] == "ch2"
+    assert clip.G.node[2]["chid"] == "---"  # unlisted character
+    rows = clip.check_chid_mappings(CASTLIST)
+    assert (0, "Ann", "ch1", ["Ann X"]) in rows
+    assert (2, "Zed", "---", []) in rows
+    assert "ch1" in capsys.readouterr().out
+
+
+def test_resolve_edges_attributes_and_directions():
+    clip = graphs.ClipGraph(_authoring_clip_json())
+    assert not clip.G.has_edge(4, 0)
+    clip.resolve_edges(graphs.get_relationship_directions(VOCAB))
+    # 1. attribute edge became bidirectional
+    assert clip.G.has_edge(4, 0)
+    # 4. undirected 'friend' gained the reverse triplet...
+    trips = clip.find_all_triplets("relationship")
+    assert (0, 3, 1) in trips and (1, 3, 0) in trips
+    # ...while directed 'boss' did not
+    assert (0, 7, 1) in trips and (1, 7, 0) not in trips
+
+
+def test_resolve_edges_rejects_undirected_on_directed_rel():
+    clip = graphs.ClipGraph(_authoring_clip_json(
+        extra_edges=[{"source": 1, "target": 7}, {"source": 7, "target": 0}]
+    ))
+    with pytest.raises(RuntimeError, match="directed"):
+        clip.resolve_edges(graphs.get_relationship_directions(VOCAB))
+
+
+def test_triplets_collapse_flags_duplicate_mediator():
+    # two distinct 'friend' nodes mediating Ann<->Bob in opposite directions
+    clip = graphs.ClipGraph(_authoring_clip_json(
+        extra_edges=[{"source": 1, "target": 6}, {"source": 6, "target": 0}]
+    ))
+    with pytest.raises(RuntimeError, match="Unnecessary extra"):
+        clip.check_triplets_collapse("relationship")
+
+
+def test_pprint_counts(capsys):
+    clip = graphs.ClipGraph(_authoring_clip_json())
+    clip.pprint()
+    out = capsys.readouterr().out
+    assert "Characters: 3" in out
+    assert "Relationships: 3" in out
+    assert "Interactions: 1" in out
+    assert "Attributes: 1" in out
+
+
+def test_load_movie_graph_latest_user_wins(tmp_path):
+    import json as json_lib
+    import os
+    import time as time_lib
+
+    u1, u2 = tmp_path / "user1", tmp_path / "user2"
+    u1.mkdir(), u2.mkdir()
+    old = _authoring_clip_json()
+    new = _authoring_clip_json()
+    new["situation"] = "updated"
+    (u1 / "scene-001.json").write_text(json_lib.dumps(old))
+    (u2 / "scene-001.json").write_text(json_lib.dumps(new))
+    (u1 / "scene-002.json").write_text(json_lib.dumps(old))
+    (u1 / "broken.json").write_text("{not json")
+    now = time_lib.time()
+    os.utime(u1 / "scene-001.json", (now - 100, now - 100))
+    os.utime(u2 / "scene-001.json", (now, now))
+
+    with pytest.warns(UserWarning, match="Failed to load"):
+        mg = graphs.load_movie_graph(
+            "tt0000001", [str(u1), str(u2)], castlist=CASTLIST
+        )
+    assert sorted(mg.clip_graphs) == ["scene-001", "scene-002"]
+    assert mg.clip_graphs["scene-001"].situation == "updated"  # newest wins
+    assert mg.clip_graphs["scene-001"].G.node[0]["chid"] == "ch1"
+    assert mg.castlist == CASTLIST
+    mg.attach_information(mergers={"a": 1}, sid_clip={1: "x"})
+    assert mg.mergers == {"a": 1} and mg.sid_clip == {1: "x"}

@@ -141,3 +141,64 @@ def test_mining_deterministic(synth_cfg):
         assert sa.inter_node["name"] == sb.inter_node["name"]
         assert sa.triplets == sb.triplets
         assert sa.bi == sb.bi
+
+
+# -- tt0119822 scene-006 time-node data fix (ref util_functions.py:103-106) -
+
+
+def _tt0119822_clip_json(movie, fname, t_start):
+    return {
+        "situation": "s", "scene": "sc", "sentence_description": "d",
+        "video": ["m/%s/%s" % (movie, fname)],
+        "nodes": [
+            {"id": 0, "type": "entity", "name": "ann"},
+            {"id": 1, "type": "entity", "name": "bob"},
+            {"id": 2, "type": "interaction", "name": "argues with"},
+            {"id": 3, "type": "time", "name": "t",
+             "t_start": t_start, "t_end": t_start + 3},
+        ],
+        "edges": [
+            {"source": 0, "target": 2}, {"source": 2, "target": 1},
+            {"source": 2, "target": 3},
+        ],
+    }
+
+
+@pytest.mark.parametrize("movie,fname,t_start,fixed", [
+    # the broken annotation: start==9 in THAT clip of THAT movie
+    ("tt0119822", "scene-006.ss-0045.es-0048.mp4", 9, True),
+    # same clip, different start: untouched
+    ("tt0119822", "scene-006.ss-0045.es-0048.mp4", 7, False),
+    # same movie, different scene: untouched
+    ("tt0119822", "scene-007.ss-0050.es-0060.mp4", 9, False),
+    # different movie, same everything else: untouched
+    ("tt0108160", "scene-006.ss-0045.es-0048.mp4", 9, False),
+])
+def test_tt0119822_time_node_fix(movie, fname, t_start, fixed):
+    clip = graphs.ClipGraph(_tt0119822_clip_json(movie, fname, t_start))
+    sample = annotations.InteractionSample(clip, 2)
+    if fixed:
+        assert sample.time_node == {"start": 8, "end": 9, "type": "time"}
+    else:
+        assert sample.time_node["start"] == t_start
+        assert sample.time_node["end"] == t_start + 3
+
+
+def test_tt0119822_fix_golden_vs_reference():
+    """The reference's AnnotatedInter applies the identical fix on the same
+    clip graph (our ClipGraph is interface-compatible with its G access)."""
+    from tests import reference_bridge as bridge
+
+    if not bridge.reference_available():
+        pytest.skip("/root/reference not mounted")
+    ref = bridge.import_reference()
+
+    for t_start, fixed in ((9, True), (7, False)):
+        clip = graphs.ClipGraph(_tt0119822_clip_json(
+            "tt0119822", "scene-006.ss-0045.es-0048.mp4", t_start
+        ))
+        theirs = ref.utils.AnnotatedInter(clip, 2)
+        ours = annotations.InteractionSample(clip, 2)
+        assert ours.time_node["start"] == theirs.time_node["start"]
+        assert ours.time_node["end"] == theirs.time_node["end"]
+        assert (ours.time_node["start"] == 8) == fixed
