@@ -21,32 +21,29 @@ __all__ = ["evaluate", "evaluate_rels_only", "summarize_metrics"]
 
 
 def evaluate_rels_only(
-    dataset, bundle, params, cfg, verbose: bool = True
+    dataset, bundle, params, cfg, verbose: bool = True,
+    batch_size: int = 0,
 ) -> Dict[str, float]:
     """Relationship-only eval over (pair, rel) hashes with ALL their clips
     (ref `test_rels_multi_clip` mode, classification_dataloader.py:293-303).
 
     The reference's DataLoader cannot actually batch this mode (items have
-    variable clip counts); here items are padded to shape buckets (padded
-    rows are table index 0 = zeros with mask 0, invisible to the masked
-    mean) and batched.
+    variable clip counts); here items stream one at a time into
+    fixed-shape pow2 buckets (padded rows are table index 0 = zeros with
+    mask 0, invisible to the masked mean) that flush at ``batch_size``.
+    Memory stays O(buckets x batch) instead of O(dataset), and compiles
+    stay O(buckets) — one shape per bucket regardless of the split size.
     """
     import jax.numpy as jnp
 
     from lirec_tpu.evaluation.metrics import RelationshipsAcc
 
+    B = batch_size or cfg.optim.batch_size
     was = dataset.test_rels_multi_clip
     dataset.test_rels_multi_clip = True
     try:
         tables = jax.tree.map(jnp.asarray, dataset.tables.as_dict())
         acc = RelationshipsAcc(n_rels=dataset.n_rels)
-        # bucket items by padded clip count to bound recompiles
-        items = [dataset[i] for i in range(len(dataset))]
-        buckets: Dict[int, list] = {}
-        for i, item in enumerate(items):
-            L = item["feat_idx"].shape[0] - 1
-            padded = 1 << max(1, (L - 1)).bit_length()  # next pow2 >= L
-            buckets.setdefault(padded, []).append(i)
 
         import dataclasses
 
@@ -64,20 +61,52 @@ def evaluate_rels_only(
             )
             return out["rels"]
 
-        for padded, idxs in sorted(buckets.items()):
-            feat = np.zeros((len(idxs), padded + 1, 3), np.int32)
-            mask = np.zeros((len(idxs), padded, 1), np.int32)
-            labels = np.zeros(len(idxs), int)
-            hashes = np.zeros(len(idxs), int)
-            for row, i in enumerate(idxs):
-                item = items[i]
+        class _Bucket:
+            def __init__(self, padded: int):
+                self.feat = np.zeros((B, padded + 1, 3), np.int32)
+                self.mask = np.zeros((B, padded, 1), np.int32)
+                self.labels = np.zeros(B, int)
+                self.hashes = np.zeros(B, int)
+                self.n = 0
+
+            def add(self, i, item):
                 L = item["feat_idx"].shape[0] - 1
-                feat[row, : L + 1] = item["feat_idx"]
-                mask[row, :L, 0] = item["rels_mask"][:, 0]
-                labels[row] = item["rels_label"]
-                hashes[row] = i
-            rels = np.asarray(step(params, feat, mask, tables))
-            acc.update(rels, labels, hashes)
+                row = self.n
+                self.feat[row, : L + 1] = item["feat_idx"]
+                self.feat[row, L + 1 :] = 0
+                self.mask[row] = 0
+                self.mask[row, :L, 0] = item["rels_mask"][:, 0]
+                self.labels[row] = item["rels_label"]
+                self.hashes[row] = i
+                self.n += 1
+
+            def flush(self):
+                if not self.n:
+                    return
+                # fixed [B, ...] shape: pad rows beyond n are sliced off
+                # before the accumulator sees them
+                rels = np.asarray(
+                    step(params, self.feat, self.mask, tables)
+                )
+                acc.update(
+                    rels[: self.n], self.labels[: self.n],
+                    self.hashes[: self.n],
+                )
+                self.n = 0
+
+        buckets: Dict[int, _Bucket] = {}
+        for i in range(len(dataset)):
+            item = dataset[i]
+            L = item["feat_idx"].shape[0] - 1
+            padded = 1 << max(1, (L - 1)).bit_length()  # next pow2 >= L
+            bucket = buckets.get(padded)
+            if bucket is None:
+                bucket = buckets[padded] = _Bucket(padded)
+            bucket.add(i, item)
+            if bucket.n == B:
+                bucket.flush()
+        for padded in sorted(buckets):
+            buckets[padded].flush()
         out = {"rels_top1": acc.top1(), "rels_top3": acc.top3()}
         if verbose:
             print("RELS-ONLY rels@top1: %f" % out["rels_top1"])
