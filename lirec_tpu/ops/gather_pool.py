@@ -123,40 +123,26 @@ def _make_fused_kernel(r_count: int, d_clip: int, d_tr: int,
 
         tile = pl.program_id(0)
 
-        def row_body(m, _):
+        # Both loops are FULLY UNROLLED (static trip counts: tile_m x
+        # r_count): fori_loop carries serialize the accumulator chain and
+        # block Mosaic's software pipelining — unrolling measured 0.41 ->
+        # 0.23 ms/call at real dims (BENCH.md r2 ablation).
+        for m in range(tile_m):
             row = tile * tile_m + m
             base = row * r_count * 3
             mbase = row * (r_count + 1)
-
-            def ctx_body(r, accs):
-                acc_c, acc_1, acc_2 = accs
+            acc_c = jnp.zeros((d_clip,), clip_ref.dtype)
+            acc_1 = jnp.zeros((d_tr,), tr1_ref.dtype)
+            acc_2 = jnp.zeros((d_tr,), tr2_ref.dtype)
+            for r in range(r_count):
                 w = mask_ref[mbase + r]
-                i0 = idx_ref[base + r * 3]
-                i1 = idx_ref[base + r * 3 + 1]
-                i2 = idx_ref[base + r * 3 + 2]
-                return (
-                    acc_c + w * clip_ref[i0, :],
-                    acc_1 + w * tr1_ref[i1, :],
-                    acc_2 + w * tr2_ref[i2, :],
-                )
-
-            acc_c, acc_1, acc_2 = jax.lax.fori_loop(
-                0,
-                r_count,
-                ctx_body,
-                (
-                    jnp.zeros((d_clip,), clip_ref.dtype),
-                    jnp.zeros((d_tr,), tr1_ref.dtype),
-                    jnp.zeros((d_tr,), tr2_ref.dtype),
-                ),
-            )
+                acc_c = acc_c + w * clip_ref[idx_ref[base + r * 3], :]
+                acc_1 = acc_1 + w * tr1_ref[idx_ref[base + r * 3 + 1], :]
+                acc_2 = acc_2 + w * tr2_ref[idx_ref[base + r * 3 + 2], :]
             inv = mask_ref[mbase + r_count]  # precomputed 1/divider
             out_ref[m, :d_clip] = jnp.tanh(acc_c * inv)
             out_ref[m, d_clip : d_clip + d_tr] = jnp.tanh(acc_1 * inv)
             out_ref[m, d_clip + d_tr :] = jnp.tanh(acc_2 * inv)
-            return 0
-
-        jax.lax.fori_loop(0, tile_m, row_body, 0)
 
     return _kernel
 
