@@ -140,3 +140,26 @@ def test_bucket_never_exceeds_max_batch():
         bundle, make_tables(bundle.spec, 32, 48), max_batch=6
     )
     assert engine._bucket(5) == 6  # clamped, not 8
+
+
+def test_oversized_body_rejected_before_read(server):
+    """Content-Length above the max_batch-derived bound -> 413 without
+    reading the body (the request is never parsed)."""
+    import urllib.error
+    import urllib.request
+
+    base, _ = server
+    big = 9 << 20  # > max_batch(8) << 20
+    req = urllib.request.Request(
+        base + "/predict",
+        data=b"x" * 1024,  # body smaller than claimed: server must not block
+        headers={"Content-Type": "application/json",
+                 "Content-Length": str(big)},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            status, payload = resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as err:
+        status, payload = err.code, json.loads(err.read())
+    assert status == 413
+    assert "exceeds" in payload["error"]
