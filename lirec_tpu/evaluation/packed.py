@@ -283,9 +283,16 @@ def evaluate_packed(
     verbose: bool = True,
     data: Optional[Dict[str, np.ndarray]] = None,
     batch_size: Optional[int] = None,
+    mesh=None,
 ) -> Dict[str, float]:
     """One-dispatch evaluation of a whole split; returns the same metric
-    dict (and prints the same lines) as runner.evaluate."""
+    dict (and prints the same lines) as runner.evaluate.
+
+    With ``mesh``, each batch's sample axis shards over the mesh's 'data'
+    axis (params/tables replicated): the sweep runs SPMD across the mesh's
+    devices and XLA inserts the counter-reduction collectives. Metrics are
+    identical to the single-device sweep (tested in test_parallel.py).
+    """
     t = cfg.tasks
     n_rels = dataset.n_rels
     n_classes = dataset.n_classes
@@ -312,21 +319,57 @@ def evaluate_packed(
         bundle, t, n_classes, n_rels, n_hashes
     )
 
-    data_dev = {k: jnp.asarray(v) for k, v in data.items()}
+    if mesh is None:
+        data_dev = {k: jnp.asarray(v) for k, v in data.items()}
 
-    @functools.partial(jax.jit, static_argnames=("n_full",))
-    def sweep(params, tables, embedded, data, n_full):
-        def body(i, carry):
-            batch = jax.tree.map(
-                lambda a: jax.lax.dynamic_slice_in_dim(a, i * B, B), data
-            )
-            return step(params, tables, embedded, carry, batch)
+        @functools.partial(jax.jit, static_argnames=("n_full",))
+        def sweep(params, tables, embedded, data, n_full):
+            def body(i, carry):
+                batch = jax.tree.map(
+                    lambda a: jax.lax.dynamic_slice_in_dim(a, i * B, B),
+                    data,
+                )
+                return step(params, tables, embedded, carry, batch)
 
-        return jax.lax.fori_loop(0, n_full, body, init_carry())
+            return jax.lax.fori_loop(0, n_full, body, init_carry())
 
-    carry = sweep(params, tables, embedded, data_dev, n_full=n_full)
+        carry = sweep(params, tables, embedded, data_dev, n_full=n_full)
+        tail_data = data_dev
+    else:
+        # SPMD sweep: data laid out [n_batches, B, ...] with the B axis
+        # sharded over 'data' — slicing batch i hits the UNsharded leading
+        # axis, so no resharding happens inside the loop
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def shard_batched(v):
+            v = np.asarray(v)
+            batched = v[: n_full * B].reshape((n_full, B) + v.shape[1:])
+            spec = P(None, "data", *([None] * (v.ndim - 1)))
+            return jax.device_put(batched, NamedSharding(mesh, spec))
+
+        data_sh = {k: shard_batched(v) for k, v in data.items()}
+        repl = NamedSharding(mesh, P())
+        params_r = jax.device_put(params, jax.tree.map(lambda _: repl, params))
+        tables_r = jax.device_put(tables, {k: repl for k in tables})
+        embedded_r = jax.device_put(
+            embedded, jax.tree.map(lambda _: repl, embedded)
+        )
+
+        @jax.jit
+        def sweep_spmd(params, tables, embedded, data):
+            def body(i, carry):
+                batch = jax.tree.map(lambda a: a[i], data)
+                return step(params, tables, embedded, carry, batch)
+
+            n = next(iter(data.values())).shape[0]
+            return jax.lax.fori_loop(0, n, body, init_carry())
+
+        carry = sweep_spmd(params_r, tables_r, embedded_r, data_sh)
+        tail_data = {k: jnp.asarray(v) for k, v in data.items()}
+        params, tables, embedded = params_r, tables_r, embedded_r
+
     if tail:
-        tail_batch = {k: v[n_full * B :] for k, v in data_dev.items()}
+        tail_batch = {k: v[n_full * B :] for k, v in tail_data.items()}
         carry = jax.jit(step)(params, tables, embedded, carry, tail_batch)
     # multi-host: each process evaluates its own data shard on its local
     # devices; the counters reduce across processes here (no-op otherwise)

@@ -220,14 +220,17 @@ def fused_ctx_pool(
 
     if force == "reference":
         return reference()
+    M, R = idx.shape[0], idx.shape[1]
     ok = (
-        idx.shape[0] % tile_m == 0
+        M % tile_m == 0
         and emb.clip.shape[1] % 128 == 0
         and emb.tr1.shape[1] % 128 == 0
         # v5e VMEM is 128 MiB; leave room for output tiles + pipelining
         and (
             emb.clip.size + emb.tr1.size + emb.tr2.size
         ) * emb.clip.dtype.itemsize < 96 * 1024 * 1024
+        # scalar-prefetched idx + mask live whole in SMEM (1 MiB)
+        and (M * R * 3 + M * (R + 1)) * 4 < 900 * 1024
     )
     if force in ("interpret", "pallas") and not ok:
         raise ValueError(

@@ -117,3 +117,35 @@ def test_sequence_parallel_eval_matches():
         np.asarray(plain["rels"]), np.asarray(sharded["rels"]),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_packed_eval_spmd_matches_single_device(synth_root):
+    """evaluate_packed over the 8-device mesh (batch axis sharded over
+    'data') must produce the identical metric dict."""
+    from lirec_tpu import config as config_lib
+    from lirec_tpu.data import synthetic
+    from lirec_tpu.data.dataset import InteractionDataset
+    from lirec_tpu.evaluation.packed import evaluate_packed
+    from lirec_tpu.models.factory import create_model
+
+    base = synthetic.make_config(synth_root)
+    cfg = config_lib.preset("int_rel_ch", data_root=synth_root)
+    cfg = cfg.replace(dims=base.dims, paths=base.paths).with_runtime(
+        compute_dtype="float32"
+    )
+    cfg = cfg.with_optim(batch_size=8)
+    ds = InteractionDataset(cfg, mode="test")
+    ds.cache()
+    ds.init_relships()
+    bundle = create_model(cfg, ds.n_classes,
+                          n_rels=max(len(ds.rels_list) - 1, 0))
+
+    single = evaluate_packed(ds, bundle, bundle.params, cfg, mode="test",
+                             verbose=False)
+    mesh = make_mesh(shape=(8, 1), axis_names=("data", "model"))
+    sharded = evaluate_packed(ds, bundle, bundle.params, cfg, mode="test",
+                              verbose=False, mesh=mesh)
+    assert set(single) == set(sharded)
+    for key in single:
+        np.testing.assert_allclose(sharded[key], single[key], rtol=1e-6,
+                                   atol=1e-6, err_msg=key)
