@@ -78,6 +78,10 @@ def build_parser(preset_name: str) -> argparse.ArgumentParser:
     p.add_argument("--host-eval", action="store_true",
                    help="per-batch host eval loop instead of the packed "
                         "one-dispatch device sweep (same metrics, slower)")
+    p.add_argument("--mesh", default="",
+                   help="DATAxMODEL device mesh, e.g. 4x2: shards training "
+                        "(dp over batch, tp over joint_dim) and the packed "
+                        "eval sweep over the local devices")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -152,6 +156,14 @@ def run_entry(preset_name: str, argv=None) -> dict:
     # fast_prng is honored by train/loop.py via an explicit rbg-typed base
     # key — NOT by mutating the global default PRNG impl (which would also
     # change param init and leak into the rest of the process)
+    mesh = None
+    if args.mesh:
+        from lirec_tpu.parallel.mesh import make_mesh
+
+        shape = tuple(int(x) for x in args.mesh.lower().split("x"))
+        if len(shape) != 2:
+            raise SystemExit("--mesh expects DATAxMODEL, e.g. 4x2")
+        mesh = make_mesh(shape=shape)
 
     needs_rels = cfg.tasks.rels or cfg.tasks.rels_multitask
     train_split = TRAIN_SPLIT[preset_name]
@@ -212,22 +224,28 @@ def run_entry(preset_name: str, argv=None) -> dict:
             checkpoint_every=args.checkpoint_every,
             drop_last=args.drop_last,
             checkpoint_backend=args.checkpoint_backend,
+            mesh=mesh,
         )
         params = out["params"]
         results["train"] = {"losses": out["losses"]}
     else:
+        eval_kw = {}
         if args.host_eval:
             eval_fn = evaluate
         else:
             from lirec_tpu.evaluation.packed import evaluate_packed as eval_fn
+
+            eval_kw["mesh"] = mesh
         if verbose:
             print("testing on validation set")
         results["val"] = eval_fn(
-            val_ds, bundle, params, cfg, mode="val", verbose=verbose
+            val_ds, bundle, params, cfg, mode="val", verbose=verbose,
+            **eval_kw
         )
         if verbose:
             print("testing on test set")
         results["test"] = eval_fn(
-            test_ds, bundle, params, cfg, mode="test", verbose=verbose
+            test_ds, bundle, params, cfg, mode="test", verbose=verbose,
+            **eval_kw
         )
     return results

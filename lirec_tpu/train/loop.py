@@ -82,6 +82,7 @@ def train(
     checkpoint_every: int = 0,
     drop_last: bool = False,
     checkpoint_backend: str = "msgpack",
+    mesh=None,
 ) -> Dict:
     """Run the epoch loop; returns {'params', 'opt_state', 'saver',
     'final_path'} (control flow: ref mlp/train.py:41-107)."""
@@ -94,7 +95,38 @@ def train(
         tables = train_dataset.tables.as_dict()
     if tables is not None:
         tables = jax.tree.map(jax.numpy.asarray, tables)
+    if mesh is not None:
+        # dp x tp training: params per the TP plan, tables replicated,
+        # batches over 'data' (parallel/mesh.py). Checkpointing and eval
+        # read the global arrays transparently.
+        from lirec_tpu.parallel import mesh as mesh_lib
+
+        params = mesh_lib.shard_tree(
+            params, mesh_lib.param_shardings(
+                params, mesh, gates=bundle.spec.gates
+            )
+        )
+        if tables is not None:
+            tables = mesh_lib.shard_tree(
+                tables, mesh_lib.table_shardings(tables, mesh)
+            )
+        if opt_state is None:
+            opt_state = jax.jit(tx.init)(params)  # inherits param shardings
     step = make_train_step(bundle, tx)
+    data_axis = mesh.shape.get("data", 1) if mesh is not None else 1
+
+    def commit_batch(batch):
+        if mesh is None:
+            return batch
+        from lirec_tpu.parallel import mesh as mesh_lib
+
+        n = batch["labels"].shape[0]
+        if n % data_axis:
+            return batch  # ragged leftover batch: replicated execution
+        return mesh_lib.shard_tree(
+            batch, mesh_lib.batch_shardings(batch, mesh)
+        )
+
     saver = BestNSaver(path=cfg.paths.store_root, n=o.keep_best_n)
     iterator = BatchIterator(
         train_dataset, o.batch_size, shuffle=True, seed=o.seed, dense=dense,
@@ -133,7 +165,7 @@ def train(
                 continue  # ref :55-56
             rng = jax.random.fold_in(base_rng, epoch * 100003 + i)
             params, opt_state, loss = step(
-                params, opt_state, batch, tables, rng,
+                params, opt_state, commit_batch(batch), tables, rng,
                 tr_sum_max_flag=tr_sum_max_flag,
             )
             loss = float(loss)

@@ -149,3 +149,32 @@ def test_packed_eval_spmd_matches_single_device(synth_root):
     for key in single:
         np.testing.assert_allclose(sharded[key], single[key], rtol=1e-6,
                                    atol=1e-6, err_msg=key)
+
+
+def test_cli_mesh_train_and_eval(synth_root, tmp_path):
+    """--mesh 4x2 trains dp x tp through the CLI; --mesh 8x1 eval matches
+    the single-device eval metric dict exactly."""
+    from lirec_tpu.cli.common import run_entry
+
+    store = str(tmp_path / "store")
+    dims = ["--text-dim", "16", "--visual-dim", "32", "--text-layers", "4",
+            "--joint-dim", "16", "--compute-dtype", "float32"]
+    args = ["--data-root", synth_root, "--store-root", store,
+            "--batch-size", "8", "--quiet"] + dims
+    out = run_entry(
+        "int_rel_ch",
+        args + ["--train", "--epochs", "2", "--mesh", "4x2"],
+    )
+    assert len(out["train"]["losses"]) == 2
+    assert np.isfinite(out["train"]["losses"][-1])
+
+    resume = ["--resume-path", store + "/1.ckpt"]
+    plain = run_entry("int_rel_ch", args + resume)
+    meshed = run_entry("int_rel_ch", args + resume + ["--mesh", "8x1"])
+    for split in ("val", "test"):
+        assert set(plain[split]) == set(meshed[split])
+        for key in plain[split]:
+            np.testing.assert_allclose(
+                meshed[split][key], plain[split][key], rtol=1e-6, atol=1e-6,
+                err_msg="%s/%s" % (split, key),
+            )
