@@ -158,12 +158,29 @@ def run_entry(preset_name: str, argv=None) -> dict:
     # change param init and leak into the rest of the process)
     mesh = None
     if args.mesh:
+        import jax
+
         from lirec_tpu.parallel.mesh import make_mesh
 
-        shape = tuple(int(x) for x in args.mesh.lower().split("x"))
+        if args.host_eval:
+            raise SystemExit(
+                "--mesh only shards the packed eval sweep; drop --host-eval"
+            )
+        try:
+            shape = tuple(int(x) for x in args.mesh.lower().split("x"))
+        except ValueError:
+            shape = ()
         if len(shape) != 2:
             raise SystemExit("--mesh expects DATAxMODEL, e.g. 4x2")
-        mesh = make_mesh(shape=shape)
+        n = len(jax.devices())
+        if shape[0] * shape[1] > n:
+            raise SystemExit(
+                "--mesh %dx%d needs %d devices; %d visible"
+                % (shape[0], shape[1], shape[0] * shape[1], n)
+            )
+        mesh = make_mesh(
+            shape=shape, devices=jax.devices()[: shape[0] * shape[1]]
+        )
 
     needs_rels = cfg.tasks.rels or cfg.tasks.rels_multitask
     train_split = TRAIN_SPLIT[preset_name]

@@ -187,7 +187,9 @@ def make_handler(engine: InferenceEngine):
                 # max_batch samples of [20, 19, 3] int indices (+ masks), well
                 # under 1 MB/sample as JSON text.
                 max_body = max(1, engine.max_batch) << 20
-                if length > max_body:
+                if length < 0 or length > max_body:
+                    # negative Content-Length would make read() block
+                    # until EOF, parking the handler thread
                     self._send(413, {
                         "error": "request body %d bytes exceeds %d"
                         % (length, max_body)

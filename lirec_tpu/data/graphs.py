@@ -67,7 +67,16 @@ def load_movie_graph(movie: str, user_dirs: Sequence[str],
     the behavior of the reference's ``copy_latest_annots``. Unparseable
     files are skipped with a warning (ref :38-39).
     """
-    latest: Dict[str, str] = {}  # scene key -> newest path
+    def scene_key(fname: str):
+        """Normalized scene id: '5.json' and 'scene-5.json' (or
+        'scene-005...') name the SAME scene, and numeric ids order
+        numerically (2 before 10), not lexicographically."""
+        stem = fname.split(".")[0]
+        if stem.startswith("scene-"):
+            stem = stem[len("scene-"):]
+        return int(stem) if stem.isdigit() else stem
+
+    latest: Dict[object, str] = {}  # scene key -> newest path
     for d in user_dirs:
         if not os.path.isdir(d):
             continue
@@ -75,14 +84,15 @@ def load_movie_graph(movie: str, user_dirs: Sequence[str],
             if not fname.endswith(".json"):
                 continue
             path = os.path.join(d, fname)
-            key = fname.split(".")[0]
+            key = scene_key(fname)
             if key not in latest or (
                 os.path.getmtime(path) > os.path.getmtime(latest[key])
             ):
                 latest[key] = path
 
     movie_graph = MovieGraph(movie, castlist=castlist)
-    for sid, path in sorted(latest.items()):
+    order = sorted(latest.items(), key=lambda kv: (isinstance(kv[0], str), kv[0]))
+    for sid, path in order:
         try:
             with open(path) as f:
                 graph_json = json.load(f)

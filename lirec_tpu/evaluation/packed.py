@@ -151,18 +151,24 @@ def _grounding_counters(preds, gt_classes, gt_tracks, just_zeros,
 
 
 def device_sweep_builder(bundle, t, n_classes: int, n_rels: int,
-                         n_hashes: int):
+                         n_hashes: int, use_pallas=None,
+                         with_conf_mat: bool = False):
     """Build (init_carry, step) for the on-device metric sweep.
 
     `step(params, tables, embedded, carry, batch)` runs model + loss +
     metric counting for one batch and folds the counts into `carry`;
     it compiles inside a fori_loop body (full batches) and standalone
-    (remainder batch).
+    (remainder batch). use_pallas=False forces the jnp forward (required
+    under SPMD/mesh execution: pallas_call has no GSPMD partitioning
+    rule). The confusion matrix is opt-in — no standard metric reads it
+    (use runner.evaluate(return_details=True) when you need one).
     """
     spec = bundle.spec
     maxtracks = t.tr_maximize and t.ints
     plain = not t.tr_maximize and not t.rels_multitask
-    conf = plain or (t.rels_multitask and t.ints and not t.tr_maximize)
+    conf = with_conf_mat and (
+        plain or (t.rels_multitask and t.ints and not t.tr_maximize)
+    )
 
     def init_carry():
         carry = {
@@ -201,7 +207,8 @@ def device_sweep_builder(bundle, t, n_classes: int, n_rels: int,
             k: batch[k] for k in ("feat_idx", "rels_mask") if k in batch
         }
         out = bundle.apply(
-            params, model_batch, tables=tables, embedded=embedded
+            params, model_batch, tables=tables, embedded=embedded,
+            use_pallas=use_pallas,
         )
         loss = bundle.loss(out, batch, rng=jax.random.PRNGKey(0))
         carry = dict(carry)
@@ -245,7 +252,10 @@ def device_sweep_builder(bundle, t, n_classes: int, n_rels: int,
                 soft_labels=batch["soft_labels"] if t.soft_gt else None,
             )
             fold(counters)
-            carry["conf_mat"] = carry["conf_mat"].at[gt, top1_pred].add(1)
+            if conf:
+                carry["conf_mat"] = carry["conf_mat"].at[
+                    gt, top1_pred
+                ].add(1)
             return carry
 
         # rels_multitask without maxtracks (int_rels preset)
@@ -256,7 +266,10 @@ def device_sweep_builder(bundle, t, n_classes: int, n_rels: int,
             gt = batch["labels"][:, 0].reshape(-1).astype(jnp.int32)
             counters, top1_pred = _topk_counters(inters, gt, n_classes)
             fold(counters)
-            carry["conf_mat"] = carry["conf_mat"].at[gt, top1_pred].add(1)
+            if conf:
+                carry["conf_mat"] = carry["conf_mat"].at[
+                    gt, top1_pred
+                ].add(1)
         if t.ctx:
             rels_label = batch["rels_label"].reshape(-1).astype(jnp.int32)
             hashes = batch["hash_rel"].reshape(-1).astype(jnp.int32)
@@ -316,7 +329,10 @@ def evaluate_packed(
         params, tables
     )
     init_carry, step = device_sweep_builder(
-        bundle, t, n_classes, n_rels, n_hashes
+        bundle, t, n_classes, n_rels, n_hashes,
+        # pallas_call cannot be GSPMD-partitioned: force the jnp forward
+        # when the sweep runs sharded over a mesh
+        use_pallas=False if mesh is not None else None,
     )
 
     if mesh is None:

@@ -223,6 +223,12 @@ def fused_ctx_pool(
     M, R = idx.shape[0], idx.shape[1]
     ok = (
         M % tile_m == 0
+        # SMEM scalar reads are 32-bit; accumulate in f32 (the model's
+        # embed_tables always emits f32 — preferred_element_type — but
+        # direct callers could pass anything)
+        and emb.clip.dtype == jnp.float32
+        and emb.tr1.dtype == jnp.float32
+        and emb.tr2.dtype == jnp.float32
         and emb.clip.shape[1] % 128 == 0
         and emb.tr1.shape[1] % 128 == 0
         # v5e VMEM is 128 MiB; leave room for output tiles + pipelining

@@ -254,13 +254,22 @@ def test_load_movie_graph_latest_user_wins(tmp_path):
     os.utime(u1 / "scene-001.json", (now - 100, now - 100))
     os.utime(u2 / "scene-001.json", (now, now))
 
+    # a third naming form for the SAME scene 2: '2.json' must dedup
+    # against 'scene-002.json' (newest mtime wins)
+    newer2 = _authoring_clip_json()
+    newer2["situation"] = "scene2-updated"
+    (u2 / "2.json").write_text(json_lib.dumps(newer2))
+    os.utime(u1 / "scene-002.json", (now - 100, now - 100))
+    os.utime(u2 / "2.json", (now, now))
+
     with pytest.warns(UserWarning, match="Failed to load"):
         mg = graphs.load_movie_graph(
             "tt0000001", [str(u1), str(u2)], castlist=CASTLIST
         )
-    assert sorted(mg.clip_graphs) == ["scene-001", "scene-002"]
-    assert mg.clip_graphs["scene-001"].situation == "updated"  # newest wins
-    assert mg.clip_graphs["scene-001"].G.node[0]["chid"] == "ch1"
+    assert sorted(mg.clip_graphs) == [1, 2]  # normalized numeric scene ids
+    assert mg.clip_graphs[1].situation == "updated"  # newest wins
+    assert mg.clip_graphs[2].situation == "scene2-updated"  # across forms
+    assert mg.clip_graphs[1].G.node[0]["chid"] == "ch1"
     assert mg.castlist == CASTLIST
     mg.attach_information(mergers={"a": 1}, sid_clip={1: "x"})
     assert mg.mergers == {"a": 1} and mg.sid_clip == {1: "x"}

@@ -163,3 +163,19 @@ def test_oversized_body_rejected_before_read(server):
         status, payload = err.code, json.loads(err.read())
     assert status == 413
     assert "exceeds" in payload["error"]
+
+
+def test_negative_content_length_rejected(server):
+    """Content-Length: -1 must not reach rfile.read(-1) (blocks to EOF)."""
+    import http.client
+
+    base, _ = server
+    host = base.split("//")[1]
+    conn = http.client.HTTPConnection(host, timeout=10)
+    conn.putrequest("POST", "/predict", skip_accept_encoding=True)
+    conn.putheader("Content-Type", "application/json")
+    conn.putheader("Content-Length", "-1")
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 413
+    conn.close()
