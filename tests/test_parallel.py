@@ -119,7 +119,12 @@ def test_sequence_parallel_eval_matches():
     )
 
 
-def test_packed_eval_spmd_matches_single_device(synth_root):
+@pytest.mark.parametrize("preset,mode", [
+    ("int_rel_ch", "test"),   # grounding counters under SPMD
+    ("int_rels", "val"),      # rels hash segment-sum scatter under SPMD
+    ("modalities", "val"),    # soft-gt top-k under SPMD
+])
+def test_packed_eval_spmd_matches_single_device(synth_root, preset, mode):
     """evaluate_packed over the 8-device mesh (batch axis sharded over
     'data') must produce the identical metric dict."""
     from lirec_tpu import config as config_lib
@@ -129,21 +134,23 @@ def test_packed_eval_spmd_matches_single_device(synth_root):
     from lirec_tpu.models.factory import create_model
 
     base = synthetic.make_config(synth_root)
-    cfg = config_lib.preset("int_rel_ch", data_root=synth_root)
+    cfg = config_lib.preset(preset, data_root=synth_root)
     cfg = cfg.replace(dims=base.dims, paths=base.paths).with_runtime(
         compute_dtype="float32"
     )
     cfg = cfg.with_optim(batch_size=8)
-    ds = InteractionDataset(cfg, mode="test")
+    ds = InteractionDataset(cfg, mode=mode)
     ds.cache()
-    ds.init_relships()
-    bundle = create_model(cfg, ds.n_classes,
-                          n_rels=max(len(ds.rels_list) - 1, 0))
+    n_rels = 0
+    if cfg.tasks.rels or cfg.tasks.rels_multitask:
+        ds.init_relships()
+        n_rels = max(len(ds.rels_list) - 1, 0)
+    bundle = create_model(cfg, ds.n_classes, n_rels=n_rels)
 
-    single = evaluate_packed(ds, bundle, bundle.params, cfg, mode="test",
+    single = evaluate_packed(ds, bundle, bundle.params, cfg, mode=mode,
                              verbose=False)
     mesh = make_mesh(shape=(8, 1), axis_names=("data", "model"))
-    sharded = evaluate_packed(ds, bundle, bundle.params, cfg, mode="test",
+    sharded = evaluate_packed(ds, bundle, bundle.params, cfg, mode=mode,
                               verbose=False, mesh=mesh)
     assert set(single) == set(sharded)
     for key in single:
