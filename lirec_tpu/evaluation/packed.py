@@ -152,16 +152,18 @@ def _grounding_counters(preds, gt_classes, gt_tracks, just_zeros,
 
 def device_sweep_builder(bundle, t, n_classes: int, n_rels: int,
                          n_hashes: int, use_pallas=None,
-                         with_conf_mat: bool = False):
+                         with_conf_mat: bool = False, data_mesh=None):
     """Build (init_carry, step) for the on-device metric sweep.
 
     `step(params, tables, embedded, carry, batch)` runs model + loss +
     metric counting for one batch and folds the counts into `carry`;
     it compiles inside a fori_loop body (full batches) and standalone
-    (remainder batch). use_pallas=False forces the jnp forward (required
-    under SPMD/mesh execution: pallas_call has no GSPMD partitioning
-    rule). The confusion matrix is opt-in — no standard metric reads it
-    (use runner.evaluate(return_details=True) when you need one).
+    (remainder batch). Under SPMD/mesh execution pass ``data_mesh``: the
+    fused pallas kernel (which has no GSPMD partitioning rule) then runs
+    per-device via shard_map over the mesh's 'data' axis while the rest of
+    the step stays GSPMD (models/tabular._ctx_branch). The confusion
+    matrix is opt-in — no standard metric reads it (use
+    runner.evaluate(return_details=True) when you need one).
     """
     spec = bundle.spec
     maxtracks = t.tr_maximize and t.ints
@@ -208,7 +210,7 @@ def device_sweep_builder(bundle, t, n_classes: int, n_rels: int,
         }
         out = bundle.apply(
             params, model_batch, tables=tables, embedded=embedded,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, data_mesh=data_mesh,
         )
         loss = bundle.loss(out, batch, rng=jax.random.PRNGKey(0))
         carry = dict(carry)
@@ -297,14 +299,16 @@ def evaluate_packed(
     data: Optional[Dict[str, np.ndarray]] = None,
     batch_size: Optional[int] = None,
     mesh=None,
+    use_pallas=None,
 ) -> Dict[str, float]:
     """One-dispatch evaluation of a whole split; returns the same metric
     dict (and prints the same lines) as runner.evaluate.
 
     With ``mesh``, each batch's sample axis shards over the mesh's 'data'
     axis (params/tables replicated): the sweep runs SPMD across the mesh's
-    devices and XLA inserts the counter-reduction collectives. Metrics are
-    identical to the single-device sweep (tested in test_parallel.py).
+    devices and XLA inserts the counter-reduction collectives; the fused
+    pallas kernel runs per-device via shard_map. Metrics are identical to
+    the single-device sweep (tested in test_parallel.py).
     """
     t = cfg.tasks
     n_rels = dataset.n_rels
@@ -330,9 +334,7 @@ def evaluate_packed(
     )
     init_carry, step = device_sweep_builder(
         bundle, t, n_classes, n_rels, n_hashes,
-        # pallas_call cannot be GSPMD-partitioned: force the jnp forward
-        # when the sweep runs sharded over a mesh
-        use_pallas=False if mesh is not None else None,
+        use_pallas=use_pallas, data_mesh=mesh,
     )
 
     if mesh is None:
@@ -386,7 +388,14 @@ def evaluate_packed(
 
     if tail:
         tail_batch = {k: v[n_full * B :] for k, v in tail_data.items()}
-        carry = jax.jit(step)(params, tables, embedded, carry, tail_batch)
+        tail_step = step
+        if mesh is not None:
+            # the ragged tail runs replicated (its row count need not divide
+            # the data axis), so it cannot go through the shard_map kernel
+            _, tail_step = device_sweep_builder(
+                bundle, t, n_classes, n_rels, n_hashes, use_pallas=False,
+            )
+        carry = jax.jit(tail_step)(params, tables, embedded, carry, tail_batch)
     # multi-host: each process evaluates its own data shard on its local
     # devices; the counters reduce across processes here (no-op otherwise)
     carry = allreduce_carry(carry)

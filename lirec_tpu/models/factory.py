@@ -35,6 +35,7 @@ def apply_model(
     use_pallas: Optional[bool] = None,  # None=auto: fused kernel on TPU
     embedded: Optional[Dict] = None,
     context_axis: Optional[str] = None,
+    data_mesh=None,  # SPMD: run the fused kernel per-device via shard_map
 ) -> Dict:
     """Dispatch to the configured architecture.
 
@@ -58,12 +59,12 @@ def apply_model(
             return tabular.midfusion_maxtracks_tabular(
                 params, spec, tables, feat_idx, rels_mask,
                 use_pallas=use_pallas, embedded=embedded,
-                context_axis=context_axis,
+                context_axis=context_axis, data_mesh=data_mesh,
             )
         return tabular.midfusion_tabular(
             params, spec, tables, feat_idx, rels_mask,
             use_pallas=use_pallas, embedded=embedded,
-            context_axis=context_axis,
+            context_axis=context_axis, data_mesh=data_mesh,
         )
 
     if "feat_idx" in batch:

@@ -121,20 +121,51 @@ def _ctx_branch(
     guard_zero_divide: bool,
     use_pallas,
     context_axis: Optional[str],
+    data_mesh=None,
+    data_axis: str = "data",
 ) -> jnp.ndarray:
     """tanh(masked-mean(pooled concat)) of the ctx branch.
 
     use_pallas: None = auto (the fused pallas kernel on TPU when shapes
     fit — 0.89 -> 0.58 ms/step at real dims, BENCH.md r2 ablation; the jnp
-    path elsewhere), True = force the kernel, False = force jnp (required
-    for context-axis sharding, which partitions the jnp reduction).
+    path elsewhere), True = force the kernel, "interpret" = the kernel in
+    interpreter mode (CPU tests), False = force jnp (required for
+    context-axis sharding, which partitions the jnp reduction).
+
+    data_mesh: under SPMD execution (rows of ``idx``/``mask`` sharded over
+    ``data_axis`` of this mesh, tables replicated) pallas_call cannot be
+    GSPMD-partitioned — instead the kernel runs per-device via
+    ``jax.shard_map``: each shard pools its local rows from the replicated
+    (VMEM-resident) tables; no collectives are needed because the pooled
+    output is data-parallel. The surrounding program stays GSPMD.
     """
     if use_pallas is not False and not context_axis:
         from lirec_tpu.ops.gather_pool import fused_ctx_pool
 
+        force = (
+            "interpret" if use_pallas == "interpret"
+            else "pallas" if use_pallas else "auto"
+        )
+        if data_mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            def local_pool(emb_l, idx_l, mask_l):
+                return fused_ctx_pool(
+                    emb_l, idx_l, mask_l,
+                    guard_zero_divide=guard_zero_divide, force=force,
+                )
+
+            return jax.shard_map(
+                local_pool,
+                mesh=data_mesh,
+                in_specs=(P(), P(data_axis), P(data_axis)),
+                out_specs=P(data_axis),
+                # no collectives inside; pallas_call's out_shape carries no
+                # varying-mesh-axes annotation, so the vma check must be off
+                check_vma=False,
+            )(emb, idx, mask)
         return fused_ctx_pool(
-            emb, idx, mask, guard_zero_divide=guard_zero_divide,
-            force="pallas" if use_pallas else "auto",
+            emb, idx, mask, guard_zero_divide=guard_zero_divide, force=force,
         )
     return jnp.tanh(
         _pooled_ctx(
@@ -164,6 +195,7 @@ def midfusion_maxtracks_tabular(
     use_pallas: Optional[bool] = None,
     embedded: Optional[Dict[str, EmbeddedTables]] = None,
     context_axis: Optional[str] = None,
+    data_mesh=None,
 ) -> Dict[str, Optional[jnp.ndarray]]:
     """MidFusionMultiClipMaxTracks eval forward over tables.
 
@@ -191,7 +223,8 @@ def midfusion_maxtracks_tabular(
         flat_idx = feat_idx[:, :, 1:, :].reshape(B * T, -1, 3)
         flat_mask = rels_mask.reshape(B * T, -1).astype(jnp.float32)
         output_ctx = _ctx_branch(
-            emb_c, flat_idx, flat_mask, True, use_pallas, context_axis
+            emb_c, flat_idx, flat_mask, True, use_pallas, context_axis,
+            data_mesh=data_mesh,
         )
     if spec.gates:
         output_ints = gate_apply(
@@ -221,6 +254,7 @@ def midfusion_tabular(
     use_pallas: Optional[bool] = None,
     embedded: Optional[Dict[str, EmbeddedTables]] = None,
     context_axis: Optional[str] = None,
+    data_mesh=None,
 ) -> Dict[str, Optional[jnp.ndarray]]:
     """MidFusionMultiClip eval forward over tables.
 
@@ -243,7 +277,8 @@ def midfusion_tabular(
         )
         mask = rels_mask.reshape(B, -1).astype(jnp.float32)
         output_ctx = _ctx_branch(
-            emb_c, feat_idx[:, 1:, :], mask, False, use_pallas, context_axis
+            emb_c, feat_idx[:, 1:, :], mask, False, use_pallas, context_axis,
+            data_mesh=data_mesh,
         )
     if spec.gates:
         output_ints = gate_apply(

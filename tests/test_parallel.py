@@ -158,6 +158,42 @@ def test_packed_eval_spmd_matches_single_device(synth_root, preset, mode):
                                    atol=1e-6, err_msg=key)
 
 
+def test_packed_eval_spmd_kernel_path_matches(synth_root):
+    """The fused pallas ctx-pool kernel under SPMD — shard_map over the
+    'data' axis, interpret mode on CPU — must reproduce the single-device
+    metric dict exactly. (use_pallas='interpret' raises if the kernel is
+    ineligible, so this also asserts the kernel path actually runs.)"""
+    from lirec_tpu import config as config_lib
+    from lirec_tpu.data import synthetic
+    from lirec_tpu.data.dataset import InteractionDataset
+    from lirec_tpu.evaluation.packed import evaluate_packed
+    from lirec_tpu.models.factory import create_model
+
+    base = synthetic.make_config(synth_root)
+    cfg = config_lib.preset("int_rel_ch", data_root=synth_root)
+    # joint_dim=256 meets the kernel's lane constraint (d_clip=512,
+    # d_tr=128, both % 128); B=8 x T=20 over data=4 -> local M=40 % 8 == 0
+    cfg = cfg.replace(dims=base.dims, paths=base.paths).with_dims(
+        joint_dim=256
+    ).with_runtime(compute_dtype="float32").with_optim(batch_size=8)
+    ds = InteractionDataset(cfg, mode="test")
+    ds.cache()
+    ds.init_relships()
+    n_rels = max(len(ds.rels_list) - 1, 0)
+    bundle = create_model(cfg, ds.n_classes, n_rels=n_rels)
+
+    single = evaluate_packed(ds, bundle, bundle.params, cfg, mode="test",
+                             verbose=False)
+    mesh = make_mesh(shape=(4, 2))
+    sharded = evaluate_packed(ds, bundle, bundle.params, cfg, mode="test",
+                              verbose=False, mesh=mesh,
+                              use_pallas="interpret")
+    assert set(single) == set(sharded)
+    for key in single:
+        np.testing.assert_allclose(sharded[key], single[key], rtol=1e-6,
+                                   atol=1e-6, err_msg=key)
+
+
 def test_cli_mesh_train_and_eval(synth_root, tmp_path):
     """--mesh 4x2 trains dp x tp through the CLI; --mesh 8x1 eval matches
     the single-device eval metric dict exactly."""
