@@ -77,7 +77,9 @@ def build_parser(preset_name: str) -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--host-eval", action="store_true",
                    help="per-batch host eval loop instead of the packed "
-                        "one-dispatch device sweep (same metrics, slower)")
+                        "one-dispatch device sweep (same metrics, slower; "
+                        "applies to checkpoint eval and the training-time "
+                        "eval cadence)")
     p.add_argument("--mesh", default="",
                    help="DATAxMODEL device mesh, e.g. 4x2: shards training "
                         "(dp over batch, tp over joint_dim) and the packed "
@@ -242,6 +244,7 @@ def run_entry(preset_name: str, argv=None) -> dict:
             drop_last=args.drop_last,
             checkpoint_backend=args.checkpoint_backend,
             mesh=mesh,
+            host_eval=args.host_eval,
         )
         params = out["params"]
         results["train"] = {"losses": out["losses"]}

@@ -9,6 +9,11 @@ Rewrites relative to the reference:
 
 All losses take ``outputs`` (model dict) and ``batch`` (collated arrays) and
 return a scalar f32.
+
+An optional ``batch['loss_weight']`` ([B] float, 0/1) excludes padded rows
+from every per-sample mean — the train loop pads the ragged leftover batch
+to the full batch size under a device mesh so one compiled shape serves
+every step; a weight of 1 for all rows is exactly the unweighted mean.
 """
 
 from __future__ import annotations
@@ -31,6 +36,19 @@ NEG_INF = -jnp.inf
 
 def _one_hot(idx: jnp.ndarray, n: int) -> jnp.ndarray:
     return jax.nn.one_hot(idx, n, dtype=jnp.float32)
+
+
+def _batch_weight(batch: Dict) -> Optional[jnp.ndarray]:
+    w = batch.get("loss_weight")
+    return None if w is None else jnp.asarray(w, jnp.float32).reshape(-1)
+
+
+def _wmean(per_sample: jnp.ndarray, w: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Mean over real rows: padded rows (weight 0) drop out of both the sum
+    and the divisor, so values and grads match the unpadded batch."""
+    if w is None:
+        return per_sample.mean()
+    return (per_sample * w).sum() / jnp.maximum(w.sum(), 1.0)
 
 
 def _pair_margin(
@@ -59,7 +77,7 @@ def max_margin_ce_loss(
     ].astype(jnp.float32)
     s = jax.nn.sigmoid(logits.astype(jnp.float32))
     pos = jnp.take_along_axis(s, target[:, None], axis=1)[:, 0]
-    return _pair_margin(s, pos, neg_mask, margin).mean()
+    return _wmean(_pair_margin(s, pos, neg_mask, margin), _batch_weight(batch))
 
 
 def multitask_max_margin_loss(
@@ -74,6 +92,7 @@ def multitask_max_margin_loss(
 ) -> jnp.ndarray:
     """MultiTaskMaxMargin (ref mlp/model.py:381-419)."""
     loss = jnp.float32(0.0)
+    bw = _batch_weight(batch)
     if ints:
         inters = outputs["inters"]
         inters = inters.reshape(inters.shape[0], -1, inters.shape[-1])[:, 0]
@@ -84,10 +103,14 @@ def multitask_max_margin_loss(
         ].astype(jnp.float32)
         s = jax.nn.sigmoid(inters.astype(jnp.float32))
         pos = jnp.take_along_axis(s, target[:, None], axis=1)[:, 0]
-        loss = loss + lymbda * _pair_margin(s, pos, neg_mask, margin).mean()
+        loss = loss + lymbda * _wmean(
+            _pair_margin(s, pos, neg_mask, margin), bw
+        )
     if ctx:
         target_rels = batch["rels_label"].reshape(-1).astype(jnp.int32)
         valid = (target_rels != n_rels).astype(jnp.float32)
+        if bw is not None:
+            valid = valid * bw
         rels = outputs["rels"].astype(jnp.float32)
         safe_target = jnp.clip(target_rels, 0, rels.shape[-1] - 1)
         neg_mask = 1.0 - _one_hot(safe_target, rels.shape[-1])
@@ -111,13 +134,18 @@ def multitask_ce_loss(
     target = batch["labels"].reshape(-1).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, target[:, None], axis=1)[:, 0]
+    bw = _batch_weight(batch)
     if weights is not None:
         w = weights[target]
+        if bw is not None:
+            w = w * bw
         loss = (nll * w).sum() / jnp.maximum(w.sum(), 1e-12)
     else:
-        loss = nll.mean()
+        loss = _wmean(nll, bw)
     target_rels = batch["rels_label"].reshape(-1).astype(jnp.int32)
     valid = (target_rels != n_rels).astype(jnp.float32)
+    if bw is not None:
+        valid = valid * bw
     rels = outputs["rels"].astype(jnp.float32)
     safe_target = jnp.clip(target_rels, 0, rels.shape[-1] - 1)
     logp_r = jax.nn.log_softmax(rels, axis=-1)
@@ -180,7 +208,7 @@ def margin_loss(
         loss = jax.nn.relu((tr_margin - pos)[:, None] + neg_max).sum(axis=1)
     else:
         loss = _pair_margin(s, pos, neg_mask, tr_margin)
-    return loss.mean()
+    return _wmean(loss, _batch_weight(batch))
 
 
 def margin_track_rels_loss(
@@ -270,18 +298,24 @@ def margin_track_rels_loss(
     pos = jnp.take_along_axis(s_col_ints, max_idxs[:, None], axis=1)[:, 0]
     pos_rels = jnp.take_along_axis(s_col_rels, max_idxs[:, None], axis=1)[:, 0]
 
+    bw = _batch_weight(batch)
     if tr_max_neg and tr_sum_max_flag:
         neg_max = (s_ints * neg_mask_ints).max(axis=2)
         neg_max_rels = (s_rels * neg_mask_rels).max(axis=2)
-        loss_ints = jax.nn.relu(
-            (tr_margin - pos)[:, None] + neg_max
-        ).sum(axis=1).mean()
-        loss_rels = jax.nn.relu(
-            (tr_margin - pos_rels)[:, None] + neg_max_rels
-        ).sum(axis=1).mean()
+        loss_ints = _wmean(
+            jax.nn.relu((tr_margin - pos)[:, None] + neg_max).sum(axis=1), bw
+        )
+        loss_rels = _wmean(
+            jax.nn.relu(
+                (tr_margin - pos_rels)[:, None] + neg_max_rels
+            ).sum(axis=1),
+            bw,
+        )
     else:
-        loss_ints = _pair_margin(s_ints, pos, neg_mask_ints, tr_margin).mean()
-        loss_rels = _pair_margin(
-            s_rels, pos_rels, neg_mask_rels, tr_margin
-        ).mean()
+        loss_ints = _wmean(
+            _pair_margin(s_ints, pos, neg_mask_ints, tr_margin), bw
+        )
+        loss_rels = _wmean(
+            _pair_margin(s_rels, pos_rels, neg_mask_rels, tr_margin), bw
+        )
     return lymbda * loss_ints + loss_rels

@@ -83,9 +83,15 @@ def train(
     drop_last: bool = False,
     checkpoint_backend: str = "msgpack",
     mesh=None,
+    host_eval: bool = False,
 ) -> Dict:
     """Run the epoch loop; returns {'params', 'opt_state', 'saver',
-    'final_path'} (control flow: ref mlp/train.py:41-107)."""
+    'final_path'} (control flow: ref mlp/train.py:41-107).
+
+    Training-cadence evaluation (every ``test_fr`` epochs, ref
+    mlp/train.py:75-91) goes through the packed one-dispatch device sweep
+    (evaluation/packed.py) — mesh-aware, same metric dict as the host loop
+    — unless ``host_eval`` (or ``dense``) forces the per-batch host path."""
     o, t = cfg.optim, cfg.tasks
     params = params if params is not None else bundle.params
     tx = make_optimizer(o.lr, o.weight_decay)
@@ -113,7 +119,6 @@ def train(
         if opt_state is None:
             opt_state = jax.jit(tx.init)(params)  # inherits param shardings
     step = make_train_step(bundle, tx)
-    data_axis = mesh.shape.get("data", 1) if mesh is not None else 1
 
     def commit_batch(batch):
         if mesh is None:
@@ -121,8 +126,25 @@ def train(
         from lirec_tpu.parallel import mesh as mesh_lib
 
         n = batch["labels"].shape[0]
-        if n % data_axis:
-            return batch  # ragged leftover batch: replicated execution
+        if n != o.batch_size:
+            # ragged leftover batch: pad to the full batch size by
+            # repeating row 0 with loss weight 0 — one compiled shape per
+            # epoch, and the padded rows drop out of every loss mean
+            # (models/losses._wmean), so values and grads match the
+            # unpadded batch
+            import jax.numpy as jnp
+
+            pad = o.batch_size - n
+
+            def pad_rows(v):
+                v = jnp.asarray(v)
+                fill = jnp.broadcast_to(v[:1], (pad,) + v.shape[1:])
+                return jnp.concatenate([v, fill.astype(v.dtype)], axis=0)
+
+            batch = {k: pad_rows(v) for k, v in batch.items()}
+            batch["loss_weight"] = jnp.concatenate(
+                [jnp.ones(n, jnp.float32), jnp.zeros(pad, jnp.float32)]
+            )
         return mesh_lib.shard_tree(
             batch, mesh_lib.batch_shardings(batch, mesh)
         )
@@ -144,6 +166,29 @@ def train(
 
     tr_sum_max_flag = t.tr_sum_max_flag
     metrics_log = MetricsLogger(metrics_log_path)
+
+    # dense batches carry no packed tables; the host loop is the only path
+    use_packed_eval = not host_eval and not dense
+    eval_data_cache: Dict[int, Dict] = {}
+
+    def cadence_eval(ds, mode, params, tables=None):
+        if not use_packed_eval:
+            return evaluate(
+                ds, bundle, params, cfg, mode=mode, tables=tables,
+                dense=dense, verbose=verbose,
+            )
+        from lirec_tpu.evaluation.packed import evaluate_packed
+
+        # materialize each split once for the whole run (the dataset only
+        # caches eval-mode splits itself; the train split's eval-time
+        # context draws are diagnostics, frozen here like the eval stride)
+        data = eval_data_cache.get(id(ds))
+        if data is None:
+            data = eval_data_cache[id(ds)] = ds.materialize()
+        return evaluate_packed(
+            ds, bundle, params, cfg, mode=mode, tables=tables,
+            verbose=verbose, data=data, mesh=mesh,
+        )
 
     def log(msg):
         if verbose:
@@ -200,13 +245,11 @@ def train(
             # row indices — evaluate must derive tables from ITS dataset
             # (passing the train tables here would gather val/test index
             # triples from the wrong rows, silently corrupting metrics)
-            evaluate(
-                train_dataset, bundle, params, cfg, mode="train",
-                tables=tables, dense=dense, verbose=verbose,
+            cadence_eval(
+                train_dataset, mode="train", tables=tables, params=params
             )
-            check_val = evaluate(
-                val_dataset, bundle, params, cfg, mode="val",
-                dense=dense, verbose=verbose,
+            check_val = cadence_eval(
+                val_dataset, mode="val", params=params
             )
             check_val = {
                 k: v for k, v in check_val.items() if k != "loss"
@@ -216,9 +259,8 @@ def train(
                     check_val, {"params": params, "epoch": epoch}, epoch
                 )
                 if test_dataset is not None:
-                    evaluate(
-                        test_dataset, bundle, params, cfg, mode="test",
-                        dense=dense, verbose=verbose,
+                    cadence_eval(
+                        test_dataset, mode="test", params=params
                     )
         if o.save_model and o.save_model_often and epoch % 30 == 0:
             saver.save()

@@ -37,6 +37,52 @@ def test_train_then_eval_int_rel_ch(synth_root, tmp_path):
         assert np.isfinite(m["loss"])
 
 
+def test_training_cadence_packed_eval_matches_host(synth_root, tmp_path):
+    """The training-time eval cadence (every test_fr epochs) through the
+    packed device sweep must record the same saver metrics as the host
+    loop (ref mlp/train.py:75-91 is on the training critical path)."""
+    from lirec_tpu import config as config_lib
+    from lirec_tpu.data import synthetic
+    from lirec_tpu.data.dataset import InteractionDataset
+    from lirec_tpu.models.factory import create_model
+    from lirec_tpu.train.loop import train
+
+    base = synthetic.make_config(synth_root)
+    cfg = config_lib.preset("int_rel_ch", data_root=synth_root)
+    cfg = cfg.replace(dims=base.dims, paths=base.paths).with_runtime(
+        compute_dtype="float32"
+    ).with_optim(batch_size=8, epochs=3, save_model=False)
+
+    def build():
+        datasets = {}
+        for mode in ("train", "val", "test"):
+            ds = InteractionDataset(cfg, mode=mode)
+            if mode != "train":
+                ds.n_classes = datasets["train"].n_classes
+            ds.cache()
+            ds.init_relships()
+            datasets[mode] = ds
+        bundle = create_model(
+            cfg, datasets["train"].n_classes,
+            n_rels=max(len(datasets["train"].rels_list) - 1, 0),
+        )
+        return datasets, bundle
+
+    results = {}
+    for host_eval in (True, False):
+        datasets, bundle = build()
+        out = train(
+            cfg, bundle, datasets["train"], val_dataset=datasets["val"],
+            test_dataset=datasets["test"], verbose=False,
+            host_eval=host_eval,
+        )
+        results[host_eval] = out
+    host, packed = results[True], results[False]
+    assert dict(host["saver"].eval), "cadence never evaluated"
+    assert dict(host["saver"].eval) == dict(packed["saver"].eval)
+    np.testing.assert_allclose(host["losses"], packed["losses"], rtol=1e-6)
+
+
 def test_modalities_train_smoke(synth_root, tmp_path):
     from lirec_tpu.cli.common import run_entry
 

@@ -158,6 +158,45 @@ def test_packed_eval_spmd_matches_single_device(synth_root, preset, mode):
                                    atol=1e-6, err_msg=key)
 
 
+def test_padded_leftover_batch_matches_ragged():
+    """The padded leftover train batch (repeat row 0, loss weight 0 — what
+    commit_batch does under a mesh) must produce the same loss and updated
+    params as the natural ragged batch. dropout=0 so the mask stream's
+    shape dependence doesn't enter (train-path dropout only needs
+    distributional equivalence, PARITY.md)."""
+    import jax.numpy as jnp
+
+    from lirec_tpu import config as config_lib
+
+    cfg = config_lib.preset("int_rel_ch", data_root="/tmp/x")
+    cfg = cfg.with_dims(text_dim=16, visual_dim=32, joint_dim=16)
+    cfg = cfg.with_runtime(compute_dtype="float32").with_optim(dropout=0.0)
+    bundle = create_model(cfg, 11, n_rels=6)
+    tables = jax.tree.map(
+        jnp.asarray, make_tables(bundle.spec, n_clips=32, n_tracks=48)
+    )
+    ragged = make_batch(bundle.spec, batch_size=5, n_clips=32, n_tracks=48)
+    pad = 3
+    padded = {
+        k: np.concatenate([v, np.repeat(v[:1], pad, axis=0)])
+        for k, v in ragged.items()
+    }
+    padded["loss_weight"] = np.concatenate(
+        [np.ones(5, np.float32), np.zeros(pad, np.float32)]
+    )
+    tx = make_optimizer(cfg.optim.lr, cfg.optim.weight_decay)
+    step = make_train_step(bundle, tx)
+    rng = jax.random.PRNGKey(3)
+    p_r, _, loss_r = step(bundle.params, tx.init(bundle.params), ragged,
+                          tables, rng)
+    p_p, _, loss_p = step(bundle.params, tx.init(bundle.params), padded,
+                          tables, rng)
+    np.testing.assert_allclose(float(loss_r), float(loss_p), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_r), jax.tree.leaves(p_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-7)
+
+
 def test_packed_eval_spmd_kernel_path_matches(synth_root):
     """The fused pallas ctx-pool kernel under SPMD — shard_map over the
     'data' axis, interpret mode on CPU — must reproduce the single-device
