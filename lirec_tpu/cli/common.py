@@ -83,7 +83,16 @@ def build_parser(preset_name: str) -> argparse.ArgumentParser:
     p.add_argument("--mesh", default="",
                    help="DATAxMODEL device mesh, e.g. 4x2: shards training "
                         "(dp over batch, tp over joint_dim) and the packed "
-                        "eval sweep over the local devices")
+                        "eval sweep; multi-process runs use the global "
+                        "device set (data axis spans hosts)")
+    p.add_argument("--coordinator", default="",
+                   help="multi-host bring-up: coordinator address "
+                        "(host:port); give the SAME command on every host "
+                        "with its own --process-id")
+    p.add_argument("--num-processes", type=int, default=0,
+                   help="multi-host bring-up: total process count")
+    p.add_argument("--process-id", type=int, default=-1,
+                   help="multi-host bring-up: this host's process index")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -154,6 +163,22 @@ def run_entry(preset_name: str, argv=None) -> dict:
     args = build_parser(preset_name).parse_args(argv)
     cfg = config_from_args(preset_name, args)
     verbose = not args.quiet
+    if args.num_processes and args.num_processes > 1:
+        # must run before anything touches the backend (jax.devices below)
+        from lirec_tpu.parallel.mesh import initialize_distributed
+
+        if args.process_id < 0 or not args.coordinator:
+            raise SystemExit(
+                "--num-processes needs --coordinator HOST:PORT and "
+                "--process-id"
+            )
+        initialize_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        if not args.mesh:
+            raise SystemExit("multi-process runs need an explicit --mesh")
     _enable_compilation_cache()
     # fast_prng is honored by train/loop.py via an explicit rbg-typed base
     # key — NOT by mutating the global default PRNG impl (which would also

@@ -325,6 +325,31 @@ def evaluate_packed(
 
     if tables is None:
         tables = dataset.tables.as_dict()
+
+    if mesh is not None and jax.process_count() > 1:
+        # Multi-process: a global device_put of the packed split is not
+        # possible (non-addressable devices), and batch-granular slicing
+        # preserves the reference's batch-boundary quirks exactly — so
+        # each process sweeps a contiguous block of full batches on its
+        # local devices (the last one also takes the ragged tail) and the
+        # counters allreduce across processes below.
+        from lirec_tpu.parallel.mesh import host_copy
+
+        nproc, pid = jax.process_count(), jax.process_index()
+        lo = (n_full * pid) // nproc
+        hi = (n_full * (pid + 1)) // nproc
+        local = {
+            k: np.asarray(v)[
+                lo * B : (hi * B + (tail if pid == nproc - 1 else 0))
+            ]
+            for k, v in data.items()
+        }
+        return evaluate_packed(
+            dataset, bundle, host_copy(params), cfg, mode=mode,
+            tables=host_copy(tables), verbose=verbose, data=local,
+            batch_size=B,
+        )
+
     tables = jax.tree.map(jnp.asarray, tables)
 
     from lirec_tpu.models.tabular import embed_all
@@ -351,7 +376,12 @@ def evaluate_packed(
 
             return jax.lax.fori_loop(0, n_full, body, init_carry())
 
-        carry = sweep(params, tables, embedded, data_dev, n_full=n_full)
+        if n_full:
+            carry = sweep(params, tables, embedded, data_dev, n_full=n_full)
+        else:
+            # split smaller than one batch (or an empty process slice):
+            # the loop body cannot even trace its B-sized slices
+            carry = init_carry()
         tail_data = data_dev
     else:
         # SPMD sweep: data laid out [n_batches, B, ...] with the B axis
@@ -365,6 +395,12 @@ def evaluate_packed(
             spec = P(None, "data", *([None] * (v.ndim - 1)))
             return jax.device_put(batched, NamedSharding(mesh, spec))
 
+        if not n_full:
+            # nothing to shard: fall back to the local tail-only sweep
+            return evaluate_packed(
+                dataset, bundle, params, cfg, mode=mode, tables=tables,
+                verbose=verbose, data=data, batch_size=B,
+            )
         data_sh = {k: shard_batched(v) for k, v in data.items()}
         repl = NamedSharding(mesh, P())
         params_r = jax.device_put(params, jax.tree.map(lambda _: repl, params))

@@ -29,10 +29,27 @@ __all__ = [
     "batch_shardings",
     "table_shardings",
     "shard_tree",
+    "host_copy",
     "initialize_distributed",
     "process_local_slice",
     "global_batch_from_local",
 ]
+
+
+def host_copy(tree):
+    """Global (possibly multi-process) arrays -> host numpy.
+
+    Single-process this is a plain fetch. Multi-process, arrays sharded
+    over non-addressable devices cannot be np.asarray'd directly — each
+    leaf allgathers to a full host copy on every process (checkpointing
+    and BestNSaver snapshots read these)."""
+    if jax.process_count() == 1:
+        return jax.tree.map(np.asarray, tree)
+    from jax.experimental import multihost_utils
+
+    return jax.tree.map(
+        np.asarray, multihost_utils.process_allgather(tree, tiled=True)
+    )
 
 
 def initialize_distributed(

@@ -95,16 +95,15 @@ def train(
     o, t = cfg.optim, cfg.tasks
     params = params if params is not None else bundle.params
     tx = make_optimizer(o.lr, o.weight_decay)
-    if opt_state is None:
-        opt_state = tx.init(params)
     if tables is None and not dense:
         tables = train_dataset.tables.as_dict()
-    if tables is not None:
+    if tables is not None and mesh is None:
         tables = jax.tree.map(jax.numpy.asarray, tables)
     if mesh is not None:
         # dp x tp training: params per the TP plan, tables replicated,
         # batches over 'data' (parallel/mesh.py). Checkpointing and eval
-        # read the global arrays transparently.
+        # read the global arrays transparently (multi-process: via a
+        # host_copy allgather).
         from lirec_tpu.parallel import mesh as mesh_lib
 
         params = mesh_lib.shard_tree(
@@ -116,8 +115,21 @@ def train(
             tables = mesh_lib.shard_tree(
                 tables, mesh_lib.table_shardings(tables, mesh)
             )
-        if opt_state is None:
-            opt_state = jax.jit(tx.init)(params)  # inherits param shardings
+    if opt_state is None:
+        # under a mesh the moments inherit the param shardings
+        opt_state = (
+            jax.jit(tx.init)(params) if mesh is not None else tx.init(params)
+        )
+    multiprocess = jax.process_count() > 1
+
+    def snapshot(tree):
+        """Checkpoint/saver view of (possibly non-addressable) arrays."""
+        if not multiprocess:
+            return tree
+        from lirec_tpu.parallel.mesh import host_copy
+
+        return host_copy(tree)
+
     step = make_train_step(bundle, tx)
 
     def commit_batch(batch):
@@ -145,6 +157,13 @@ def train(
             batch["loss_weight"] = jnp.concatenate(
                 [jnp.ones(n, jnp.float32), jnp.zeros(pad, jnp.float32)]
             )
+        if multiprocess:
+            # every process iterates the same (seeded) global batches;
+            # each contributes only ITS contiguous data-axis rows and the
+            # global array assembles without cross-host transfer
+            sl = mesh_lib.process_local_slice(mesh, o.batch_size)
+            local = {k: np.asarray(v)[sl] for k, v in batch.items()}
+            return mesh_lib.global_batch_from_local(local, mesh)
         return mesh_lib.shard_tree(
             batch, mesh_lib.batch_shardings(batch, mesh)
         )
@@ -256,13 +275,18 @@ def train(
             }
             if saver.check(check_val):
                 saver.update(
-                    check_val, {"params": params, "epoch": epoch}, epoch
+                    check_val,
+                    {"params": snapshot(params), "epoch": epoch},
+                    epoch,
                 )
                 if test_dataset is not None:
                     cadence_eval(
                         test_dataset, mode="test", params=params
                     )
-        if o.save_model and o.save_model_often and epoch % 30 == 0:
+        if (
+            o.save_model and o.save_model_often and epoch % 30 == 0
+            and jax.process_index() == 0
+        ):
             saver.save()
         if (
             checkpoint_every
@@ -270,22 +294,28 @@ def train(
             and (epoch + 1) % checkpoint_every == 0
         ):
             # crash-resilience checkpoint (the reference has no failure
-            # recovery, SURVEY.md §5.3); pick up with auto-resume
-            save_train_state_any(
-                ops.join(cfg.paths.store_root, "latest.ckpt"),
-                params, opt_state, epoch, backend=checkpoint_backend,
-            )
+            # recovery, SURVEY.md §5.3); pick up with auto-resume.
+            # snapshot() is a collective — every process runs it; only
+            # process 0 writes the file.
+            p_host, o_host = snapshot(params), snapshot(opt_state)
+            if jax.process_index() == 0:
+                save_train_state_any(
+                    ops.join(cfg.paths.store_root, "latest.ckpt"),
+                    p_host, o_host, epoch, backend=checkpoint_backend,
+                )
 
     final_path = ""
     if o.save_model and cfg.paths.store_root:
         final_path = ops.join(cfg.paths.store_root, "%d.ckpt" % (o.epochs - 1))
         # weights + optimizer state, so training can resume
         # (ref mlp/train.py:99-106)
-        save_train_state_any(
-            final_path, params, opt_state, o.epochs - 1,
-            backend=checkpoint_backend,
-        )
-        saver.save()
+        p_host, o_host = snapshot(params), snapshot(opt_state)
+        if jax.process_index() == 0:
+            save_train_state_any(
+                final_path, p_host, o_host, o.epochs - 1,
+                backend=checkpoint_backend,
+            )
+            saver.save()
     return {
         "params": params,
         "opt_state": opt_state,

@@ -119,3 +119,57 @@ def test_two_process_cluster_matches_single_process(tmp_path):
             )
     # both processes computed the SAME global metric dict
     assert results[0]["metrics"] == results[1]["metrics"]
+
+
+def test_two_process_cli_training_matches_single_process(synth_root, tmp_path):
+    """User-facing multi-host bring-up: the SAME `lirec-tpu int_rel_ch
+    --train` command on two localhost processes (--coordinator/
+    --num-processes/--process-id) must train to the same per-epoch losses
+    as one process with the same 8-device mesh."""
+    cli_worker = os.path.join(REPO, "tests", "mp_cli_worker.py")
+    port = _free_port()
+    store_mp = str(tmp_path / "store_mp")
+    procs, outs = [], []
+    for pid in range(2):
+        out = str(tmp_path / ("cli_out_%d.json" % pid))
+        outs.append(out)
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, cli_worker, str(pid), str(port), out,
+                 synth_root, store_mp],
+                env=env,
+                cwd=REPO,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+        )
+    results = []
+    for p, out in zip(procs, outs):
+        stdout, stderr = p.communicate(timeout=600)
+        assert p.returncode == 0, (
+            "CLI worker failed:\n%s\n%s" % (stdout.decode(), stderr.decode())
+        )
+        with open(out) as f:
+            results.append(json.load(f))
+    assert all(r["device_count"] == 8 for r in results)
+    np.testing.assert_allclose(results[0]["losses"], results[1]["losses"])
+    # checkpoint written exactly once (process 0)
+    assert os.path.exists(os.path.join(store_mp, "1.ckpt"))
+
+    # single-process expectation: same entry, same mesh shape, 8 local devices
+    from lirec_tpu.cli.common import run_entry
+
+    single = run_entry("int_rel_ch", [
+        "--data-root", synth_root, "--store-root", str(tmp_path / "store_sp"),
+        "--train", "--epochs", "2", "--batch-size", "8", "--quiet",
+        "--text-dim", "16", "--visual-dim", "32", "--text-layers", "4",
+        "--joint-dim", "16", "--compute-dtype", "float32",
+        "--mesh", "4x2",
+    ])
+    np.testing.assert_allclose(
+        results[0]["losses"], single["train"]["losses"], rtol=2e-5, atol=1e-6
+    )
