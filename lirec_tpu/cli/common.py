@@ -57,6 +57,12 @@ def build_parser(preset_name: str) -> argparse.ArgumentParser:
                    help="continue from <store-root>/latest.ckpt if present")
     p.add_argument("--cache-workers", type=int, default=0,
                    help="thread pool size for feature precompute IO")
+    p.add_argument("--ingest-cache", default="",
+                   help="eval-only: path to a serialized ingest artifact "
+                        "(.npz). Loaded when present (skips graph mining "
+                        "and feature pooling entirely); written after a "
+                        "fresh ingest otherwise. Create offline with "
+                        "`python -m lirec_tpu.cli.ingest`.")
     p.add_argument("--fast-prng", action="store_true",
                    help="(default since r2; kept for compatibility) rbg "
                         "PRNG for dropout masks")
@@ -129,6 +135,25 @@ def config_from_args(preset_name: str, args) -> config_lib.ExperimentConfig:
     if args.train or args.resume_train:
         cfg = cfg.replace(resume=False, resume_train=args.resume_train)
     return cfg
+
+
+def build_datasets(cfg, preset_name: str, workers: int = 0):
+    """Ingest the three split datasets with the reference's split quirks
+    (the nominal 'train' dataset comes from TRAIN_SPLIT[preset])."""
+    needs_rels = cfg.tasks.rels or cfg.tasks.rels_multitask
+    train_ds = InteractionDataset(cfg, mode=TRAIN_SPLIT[preset_name])
+    train_ds.cache(parallel_workers=workers)
+    val_ds = InteractionDataset(cfg, mode="val")
+    val_ds.n_classes = train_ds.n_classes
+    val_ds.cache(parallel_workers=workers)
+    test_ds = InteractionDataset(cfg, mode="test")
+    test_ds.n_classes = train_ds.n_classes
+    test_ds.cache(parallel_workers=workers)
+    if needs_rels:
+        train_ds.init_relships()
+        val_ds.init_relships()
+        test_ds.init_relships()
+    return train_ds, val_ds, test_ds
 
 
 def load_checkpoint_params(path: str, template=None):
@@ -209,21 +234,33 @@ def run_entry(preset_name: str, argv=None) -> dict:
             shape=shape, devices=jax.devices()[: shape[0] * shape[1]]
         )
 
-    needs_rels = cfg.tasks.rels or cfg.tasks.rels_multitask
-    train_split = TRAIN_SPLIT[preset_name]
-    workers = args.cache_workers
-    train_ds = InteractionDataset(cfg, mode=train_split)
-    train_ds.cache(parallel_workers=workers)
-    val_ds = InteractionDataset(cfg, mode="val")
-    val_ds.n_classes = train_ds.n_classes
-    val_ds.cache(parallel_workers=workers)
-    test_ds = InteractionDataset(cfg, mode="test")
-    test_ds.n_classes = train_ds.n_classes
-    test_ds.cache(parallel_workers=workers)
-    if needs_rels:
-        train_ds.init_relships()
-        val_ds.init_relships()
-        test_ds.init_relships()
+    if args.ingest_cache and not cfg.resume:
+        raise SystemExit(
+            "--ingest-cache serves the eval paths; training draws fresh "
+            "per-epoch context subsets and needs the live dataset"
+        )
+    if args.ingest_cache and os.path.exists(args.ingest_cache):
+        from lirec_tpu.data.artifact import load_ingest
+
+        splits = load_ingest(args.ingest_cache, cfg)
+        train_ds, val_ds, test_ds = (
+            splits["train"], splits["val"], splits["test"]
+        )
+        if verbose:
+            print("loaded ingest artifact: %s" % args.ingest_cache)
+    else:
+        train_ds, val_ds, test_ds = build_datasets(
+            cfg, preset_name, workers=args.cache_workers
+        )
+        if args.ingest_cache:
+            from lirec_tpu.data.artifact import save_ingest
+
+            save_ingest(
+                args.ingest_cache, cfg,
+                {"train": train_ds, "val": val_ds, "test": test_ds},
+            )
+            if verbose:
+                print("wrote ingest artifact: %s" % args.ingest_cache)
 
     n_classes = train_ds.n_classes
     n_rels = max(len(train_ds.rels_list) - 1, 0)
