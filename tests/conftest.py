@@ -21,6 +21,15 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """`-m tpu` selects the opt-in real-hardware lane (tests spawn TPU
+    subprocesses; this parent process stays on the forced-CPU backend).
+    Default runs DESELECT those tests so the CPU suite stays 0-skipped."""
+    if "tpu" in (config.option.markexpr or ""):
+        return
+    items[:] = [item for item in items if "tpu" not in item.keywords]
+
+
 @pytest.fixture(scope="session")
 def synth_root(tmp_path_factory):
     from lirec_tpu.data import synthetic

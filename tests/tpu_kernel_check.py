@@ -1,0 +1,83 @@
+"""Real-hardware kernel parity at production dims (run via `pytest -m tpu`).
+
+The CPU suite only ever exercises the pallas kernels in interpret mode;
+this script runs them compiled on the actual chip at the flagship eval
+shapes and compares against the jnp reference path — the exact failure
+class BENCH.md's r1 history documents (a VMEM guard silently disabling
+the kernel at real dims would also be caught: force='pallas' raises
+instead of falling back).
+
+Exit codes: 0 ok, 3 no TPU backend (caller skips), 1 mismatch/error.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import jax
+
+    if jax.default_backend() != "tpu":
+        print("no TPU backend (got %r)" % jax.default_backend())
+        return 3
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lirec_tpu.models.tabular import EmbeddedTables
+    from lirec_tpu.ops.gather_pool import fused_ctx_pool, gather_masked_sum
+
+    rng = np.random.default_rng(0)
+    n_clips, n_tracks, joint = 2048, 4096, 512
+    B, T, R = 64, 20, 18
+    M = B * T
+
+    def randn(*shape):
+        return jnp.asarray(
+            rng.standard_normal(shape).astype(np.float32)
+        )
+
+    emb = EmbeddedTables(
+        clip=randn(n_clips, 2 * joint),
+        tr1=randn(n_tracks, joint // 2),
+        tr2=randn(n_tracks, joint // 2),
+    )
+    idx = jnp.asarray(
+        rng.integers(
+            0, [n_clips, n_tracks, n_tracks], size=(M, R, 3)
+        ).astype(np.int32)
+    )
+    mask = (rng.random((M, R)) < 0.5).astype(np.float32)
+    mask[:5] = 0.0  # all-masked rows exercise the zero-divider guard
+    mask = jnp.asarray(mask)
+
+    kern = np.asarray(
+        fused_ctx_pool(emb, idx, mask, guard_zero_divide=True,
+                       force="pallas")
+    )
+    ref = np.asarray(
+        fused_ctx_pool(emb, idx, mask, guard_zero_divide=True,
+                       force="reference")
+    )
+    np.testing.assert_allclose(kern, ref, rtol=2e-5, atol=2e-6,
+                               err_msg="fused_ctx_pool on-chip mismatch")
+    print("fused_ctx_pool ok at real dims: out %s, max |diff| %.2e"
+          % (kern.shape, float(np.abs(kern - ref).max())))
+
+    table = randn(n_clips, 2 * joint)
+    idx2 = jnp.asarray(
+        rng.integers(0, n_clips, size=(M, R)).astype(np.int32)
+    )
+    mask2 = jnp.asarray((rng.random((M, R)) < 0.5).astype(np.float32))
+    a = np.asarray(gather_masked_sum(table, idx2, mask2, force="pallas"))
+    b = np.asarray(gather_masked_sum(table, idx2, mask2, force="reference"))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6,
+                               err_msg="gather_masked_sum on-chip mismatch")
+    print("gather_masked_sum ok at real dims: out %s" % (a.shape,))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
