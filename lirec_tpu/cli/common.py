@@ -75,6 +75,8 @@ def build_parser(preset_name: str) -> argparse.ArgumentParser:
                         "reference trains on it; avoids one jit shape)")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None,
+                   help="override the preset learning rate (ref 3e-5)")
     p.add_argument("--text-dim", type=int, default=768)
     p.add_argument("--visual-dim", type=int, default=2048)
     p.add_argument("--text-layers", type=int, default=12)
@@ -124,6 +126,8 @@ def config_from_args(preset_name: str, args) -> config_lib.ExperimentConfig:
         cfg = cfg.with_optim(epochs=args.epochs)
     if args.batch_size is not None:
         cfg = cfg.with_optim(batch_size=args.batch_size)
+    if args.lr is not None:
+        cfg = cfg.with_optim(lr=args.lr)
     if args.compute_dtype:
         cfg = cfg.with_runtime(compute_dtype=args.compute_dtype)
     if args.strict_prng:

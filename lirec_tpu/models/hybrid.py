@@ -30,21 +30,37 @@ __all__ = ["project_tables", "midfusion_hybrid", "midfusion_maxtracks_hybrid",
 
 
 class H1Tables(NamedTuple):
-    """First-layer activations of the feature tables, per branch."""
+    """First-layer activations of the feature tables, per branch.
 
-    txt: jnp.ndarray  # [n_clips, joint]
-    vis: jnp.ndarray  # [n_clips, joint]
+    txt and vis are indexed by the SAME clip id, so their activations are
+    stored pre-concatenated: one wide gather (and ONE backward scatter-add)
+    instead of two — the same layout trick as the eval path's
+    EmbeddedTables.clip. Under bf16 compute the activations are stored
+    bf16: the second-layer matmuls consume bf16 anyway, and halving the
+    gather/scatter/residual bytes is the train step's dominant traffic.
+    """
+
+    clip: jnp.ndarray  # [n_clips, 2*joint] = [txt | vis]
     tr1: jnp.ndarray  # [n_tracks, joint]
     tr2: jnp.ndarray  # [n_tracks, joint]
 
 
 def project_tables(params: Dict, prefix: str, tables: Dict, spec) -> H1Tables:
     cdt = compute_dtype(spec)
+
+    def act(h):
+        return h if cdt is None else h.astype(cdt)
+
     return H1Tables(
-        txt=linear(params["txt_%s" % prefix], tables["text"], cdt),
-        vis=linear(params["vis_%s" % prefix], tables["visual"], cdt),
-        tr1=linear(params["tracks1_%s" % prefix], tables["track"], cdt),
-        tr2=linear(params["tracks2_%s" % prefix], tables["track"], cdt),
+        clip=act(jnp.concatenate(
+            [
+                linear(params["txt_%s" % prefix], tables["text"], cdt),
+                linear(params["vis_%s" % prefix], tables["visual"], cdt),
+            ],
+            axis=-1,
+        )),
+        tr1=act(linear(params["tracks1_%s" % prefix], tables["track"], cdt)),
+        tr2=act(linear(params["tracks2_%s" % prefix], tables["track"], cdt)),
     )
 
 
@@ -56,15 +72,19 @@ def _embed_from_h1(
     second layers, concatenated (same output as blocks.modality_embed)."""
     p = spec.dropout
     cdt = compute_dtype(spec)
+    joint = spec.joint_dim
 
     def second(name, h):
         h = jax.nn.relu(dropout(h, p, rng, deterministic))
         return linear(params[name], h, cdt)
 
-    # NOTE: call order matches blocks.modality_embed (txt, vis, tr1, tr2)
-    # so the DropoutRng stream lines up with the non-hybrid path.
-    txt = second("txt2_%s" % prefix, h1.txt[idx[..., 0]])
-    vis = second("vis2_%s" % prefix, h1.vis[idx[..., 0]])
+    # NOTE: dropout call order and shapes match blocks.modality_embed
+    # (txt, vis, tr1, tr2 — each [., joint]) so the DropoutRng stream
+    # lines up with the non-hybrid path even though txt|vis arrive in one
+    # gathered row.
+    clip = h1.clip[idx[..., 0]]
+    txt = second("txt2_%s" % prefix, clip[..., :joint])
+    vis = second("vis2_%s" % prefix, clip[..., joint:])
     tr1 = second("tracks12_%s" % prefix, h1.tr1[idx[..., 1]])
     tr2 = second("tracks22_%s" % prefix, h1.tr2[idx[..., 2]])
     return jnp.concatenate([txt, vis, tr1, tr2], axis=-1)

@@ -191,7 +191,9 @@ def train(
     eval_data_cache: Dict[int, Dict] = {}
 
     def cadence_eval(ds, mode, params, tables=None):
-        if not use_packed_eval:
+        # datasets without the packed interface (e.g. TextOnlyDataset)
+        # keep the host loop
+        if not use_packed_eval or not hasattr(ds, "materialize"):
             return evaluate(
                 ds, bundle, params, cfg, mode=mode, tables=tables,
                 dense=dense, verbose=verbose,

@@ -18,7 +18,11 @@ def test_train_then_eval_int_rel_ch(synth_root, tmp_path):
     out = run_entry(
         "int_rel_ch",
         ["--data-root", synth_root, "--store-root", store, "--train",
-         "--epochs", "3", "--batch-size", "8", "--quiet"] + DIM_ARGS,
+         "--epochs", "3", "--batch-size", "8", "--quiet",
+         # the reference lr (3e-5) moves the loss less than the per-epoch
+         # context-resampling noise on tiny data — train hot so the
+         # decrease assertion reflects optimization, not mask-stream luck
+         "--lr", "1e-3"] + DIM_ARGS,
     )
     losses = out["train"]["losses"]
     assert len(losses) == 3

@@ -39,3 +39,8 @@ def test_pallas_kernels_real_dims_on_chip():
     out = _run_on_tpu("tpu_kernel_check.py")
     assert "fused_ctx_pool ok" in out
     assert "gather_masked_sum ok" in out
+
+
+def test_train_step_optimizes_on_chip():
+    out = _run_on_tpu("tpu_train_check.py")
+    assert "tpu train ok" in out
