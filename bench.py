@@ -225,6 +225,101 @@ def bench_e2e_eval(batch_size: int, compute_dtype: str):
     return clips_per_sec
 
 
+# ------------------------------------------------- on-chip parity gate
+
+
+def parity_gate(batch_size: int = 64, n_batches: int = 8) -> str:
+    """Counter parity on the REAL device: one f32 packed metric sweep
+    (counters in the carry, fused kernel on) vs the host-loop oracle
+    counting the SAME fetched logits in numpy (runner.evaluate's path).
+    Identical forward outputs feed both counters, so any mismatch is a
+    genuine device-metric bug — not a matmul-precision tie-flip. A wrong
+    counter fails the whole bench (exit 1), so a fast-but-broken
+    regression can never ship a BENCH_r JSON. Match: ref mlp/test.py
+    :138-145 — the metric dict is the product's contract.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lirec_tpu import config as config_lib
+    from lirec_tpu.evaluation.device_metrics import grounding_predictions
+    from lirec_tpu.evaluation.metrics import MetricAccumulator
+    from lirec_tpu.evaluation.packed import device_sweep_builder
+    from lirec_tpu.models.factory import create_model
+    from lirec_tpu.models.tabular import embed_all
+    from lirec_tpu.utils.fake_batch import make_batch, make_tables
+
+    C, NR = 101, 15
+    cfg = config_lib.preset("int_rel_ch", data_root="/nonexistent")
+    cfg = cfg.with_runtime(compute_dtype="float32")
+    bundle = create_model(cfg, C, n_rels=NR)
+    tables = jax.tree.map(
+        jnp.asarray, make_tables(bundle.spec, 512, 1024, seed=11)
+    )
+    B = batch_size
+    data = make_batch(bundle.spec, B * n_batches, 512, 1024, seed=13)
+    data = {k: jnp.asarray(v) for k, v in data.items()}
+    t = cfg.tasks
+    params = jax.device_put(bundle.params)
+    embedded = jax.jit(lambda p, tb: embed_all(p, bundle.spec, tb))(
+        params, tables
+    )
+    init_carry, step = device_sweep_builder(bundle, t, C, NR, 0)
+
+    apply_jit = jax.jit(
+        lambda p, mb, tb, emb: bundle.apply(p, mb, tables=tb, embedded=emb)
+    )
+    preds_jit = jax.jit(grounding_predictions)
+    prec = MetricAccumulator(n_rels=NR)
+    carry = init_carry()
+    for i in range(n_batches):
+        b = {k: v[i * B : (i + 1) * B] for k, v in data.items()}
+        carry = jax.jit(step)(params, tables, embedded, carry, b)
+        out = apply_jit(
+            params, {k: b[k] for k in ("feat_idx", "rels_mask")},
+            tables, embedded,
+        )
+        preds = preds_jit(
+            out["inters"], b["mem_mask"], b["labels"],
+            pr_probs_rels=out["rels"], gt_rels=b["rels_label"],
+        )
+        preds = {k: np.asarray(v) for k, v in preds.items()}
+        ridx = np.nonzero(np.asarray(b["rels_label"])[:, 0] - NR + 1)[0]
+        prec.update_from_predictions(
+            preds,
+            gt_classes=np.asarray(b["labels"]),
+            gt_tracks=np.asarray(b["gt_tracks"]),
+            just_zeros=np.asarray(b["just_zeros"]),
+            gt_rels=np.asarray(b["rels_label"]),
+            rels_sample_idx=ridx,
+        )
+    carry = jax.tree.map(np.asarray, carry)
+    oracle = {
+        "total": prec.total, "total_cl": prec.total_cl,
+        "total_rels": prec.total_rels, "top1": prec._top1,
+        "cls_top1": prec._cls_top1, "trks_top1": prec._trks_top1,
+        "rels_top1": prec._rels_top1,
+    }
+    bad = {
+        key: (int(carry[key]), int(val))
+        for key, val in oracle.items()
+        if int(carry[key]) != int(val)
+    }
+    if bad:
+        log("PARITY FAIL (device sweep vs host oracle): %r" % bad)
+        return "fail"
+    log(
+        "parity ok on %s: %d samples, counters %s"
+        % (
+            __import__("jax").default_backend(),
+            int(carry["total_cl"]),
+            {k: int(v) for k, v in oracle.items()},
+        )
+    )
+    return "ok"
+
+
 # ------------------------------------------------------- baseline (torch CPU)
 
 
@@ -354,6 +449,20 @@ def main():
     e2e = bench_e2e_eval(args.batch, args.compute_dtype)
     device_only = bench_jax(args.batch, args.iters, args.warmup,
                             args.compute_dtype)
+
+    # train-step headline: the full fwd+loss+bwd+Adam step, slope-timed
+    # (tools/bench_train.py modes; 3 reps keep the bench wall-clock sane)
+    from tools.bench_train import measure_modes
+
+    train_ms = measure_modes(
+        ["full"], batch=args.batch, iters=150, reps=5,
+        compute_dtype=args.compute_dtype,
+    )["full"]
+    log("train step: %.2f ms -> %.0f clips/sec" %
+        (train_ms, args.batch / (train_ms / 1000)))
+
+    parity = parity_gate(args.batch)
+
     print(
         json.dumps(
             {
@@ -363,12 +472,17 @@ def main():
                 "unit": "clips/sec",
                 "vs_baseline": round(e2e / base, 2),
                 "device_only_fwd_loss_clips_per_sec": round(device_only, 2),
+                "train_ms_per_step": round(train_ms, 3),
+                "train_clips_per_sec": round(args.batch / (train_ms / 1000), 1),
+                "parity": parity,
                 "baseline_method": "torch-CPU reference-equivalent compute, "
                                    "compute-only both sides, >=10 iters "
                                    "(baseline_torch.json)",
             }
         )
     )
+    if parity != "ok":
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -30,18 +30,11 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--modes", default="full,fused-adam,sgd,no-opt,fwd,"
-                                       "no-dropout,adam-only")
-    ap.add_argument("--iters", type=int, default=120,
-                    help="long-sweep step count; the shared chip's "
-                         "run-to-run noise needs ~1s sweeps")
-    ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--compute-dtype", default="bfloat16")
-    args = ap.parse_args()
+def measure_modes(modes, batch: int = 64, iters: int = 120, reps: int = 5,
+                  compute_dtype: str = "bfloat16"):
+    """Slope-time the requested modes; returns {mode: ms_per_step}.
 
+    Importable (bench.py uses it for the train_ms_per_step headline)."""
     import jax
     import jax.numpy as jnp
 
@@ -53,13 +46,13 @@ def main():
 
     _enable_compilation_cache()
     cfg = config_lib.preset("int_rel_ch", data_root="/nonexistent")
-    cfg = cfg.with_runtime(compute_dtype=args.compute_dtype)
+    cfg = cfg.with_runtime(compute_dtype=compute_dtype)
     bundle = create_model(cfg, 101, n_rels=15)
     n_clips, n_tracks = 2048, 4096
     tables = jax.tree.map(
         jnp.asarray, make_tables(bundle.spec, n_clips, n_tracks)
     )
-    B = args.batch
+    B = batch
     batches = [
         make_batch(bundle.spec, B, n_clips, n_tracks, seed=s)
         for s in range(4)
@@ -84,7 +77,7 @@ def main():
         return bundle.loss(out, batch, rng=jax.random.fold_in(rng, 7))
 
     results = {}
-    for mode in args.modes.split(","):
+    for mode in modes:
         mode = mode.strip()
         deterministic = mode == "no-dropout"
         if mode in ("full", "no-dropout"):
@@ -155,12 +148,16 @@ def main():
         timed(2)
         compile_s = time.time() - t0
         per = []
-        short, long_ = 4, 4 + args.iters
-        for rep in range(args.reps):
+        short, long_ = 4, 4 + iters
+        for rep in range(reps):
             ts = timed(short + 2 * rep + 1)
             tl = timed(long_ + 2 * rep)
             per.append((tl - ts) / (long_ - short - 1))
-        ms = sorted(per)[len(per) // 2] * 1000
+        # contended-chip robustness: a rep whose short sweep caught a
+        # foreign burst produces a garbage (even negative) slope — median
+        # over the positive slopes only
+        ok = sorted(p for p in per if p > 0) or sorted(per)
+        ms = ok[len(ok) // 2] * 1000
         results[mode] = ms
         log(
             "%-11s %7.3f ms/step  (%5.0f clips/s, compile %.1fs, "
@@ -172,9 +169,27 @@ def main():
     log("-" * 60)
     for mode, ms in results.items():
         log("%-11s %7.3f ms" % (mode, ms))
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--modes", default="full,fused-adam,sgd,no-opt,fwd,"
+                                       "no-dropout,adam-only")
+    ap.add_argument("--iters", type=int, default=120,
+                    help="long-sweep step count; the shared chip's "
+                         "run-to-run noise needs ~1s sweeps")
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--compute-dtype", default="bfloat16")
+    args = ap.parse_args()
+    results = measure_modes(
+        [m for m in args.modes.split(",")], batch=args.batch,
+        iters=args.iters, reps=args.reps, compute_dtype=args.compute_dtype,
+    )
     import json
 
-    print(json.dumps({"batch": B, "ms_per_step": results}))
+    print(json.dumps({"batch": args.batch, "ms_per_step": results}))
 
 
 if __name__ == "__main__":
