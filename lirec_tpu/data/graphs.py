@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import warnings
 from collections import OrderedDict, defaultdict
 from typing import Dict, Iterator, List, Optional, Sequence, Union
@@ -500,6 +501,62 @@ class ClipGraph:
                 and self.node_name(t1[1]) == self.node_name(t2[1])
             ):
                 raise RuntimeError("Unnecessary extra %s node." % t_type)
+
+    def fix_spelling(self, spell_checker) -> None:
+        """Normalize every label through an injected spell checker
+        (ref GraphClasses.py:476-509).
+
+        Each label is lower-cased, split into ``\\w+`` words, each word
+        replaced by ``spell_checker.correction(word)``, and re-joined with
+        single spaces — so punctuation inside labels is dropped, exactly as
+        in the reference. Changed labels print ORI/FIX lines. Applies to
+        ``situation``, ``scene_label``, then attribute, interaction, and
+        relationship node names in that order (three separate passes, like
+        the reference, so the ORI/FIX print order matches). The checker is
+        duck-typed (`correction(word) -> word`) and injected, as in the
+        reference signature.
+        """
+
+        def fix_label(tag):
+            words = re.findall(r"\w+", tag.lower())
+            fixed = [spell_checker.correction(w) for w in words]
+            if words != fixed:
+                print("ORI:", words)
+                print("FIX:", fixed)
+            return " ".join(fixed)
+
+        self.situation = fix_label(self.situation)
+        self.scene_label = fix_label(self.scene_label)
+        for ntype in ("attribute", "interaction", "relationship"):
+            for n in self.G.nodes():
+                if self.node_type(n) == ntype:
+                    self.G.node[n]["name"] = fix_label(self.G.node[n]["name"])
+
+    def lemmatize(self, lemmatizer=None) -> None:
+        """In-place lemmatization of all graph components
+        (ref GraphClasses.py:514-525).
+
+        The reference delegates to a module-global ``lemmatizer`` whose
+        import is commented out of the release (ref GraphClasses.py:18), so
+        calling the reference method raises ``NameError``. The protocol it
+        expects is preserved here via injection: any object providing
+        ``lemmatize_situation``/``lemmatize_scene`` (str -> str) and
+        ``lemmatize_all_interactions``/``_attributes``/``_relationships``
+        (graph mutated in place — node names may change, nodes may be
+        deleted). With no lemmatizer the failure mode matches the
+        reference's.
+        """
+        if lemmatizer is None:
+            raise NameError(
+                "lemmatize() needs a lemmatizer object: the reference's "
+                "'lemmatizer' module is absent from the release "
+                "(ref GraphClasses.py:18 comments out its import)"
+            )
+        self.situation = lemmatizer.lemmatize_situation(self.situation)
+        self.scene_label = lemmatizer.lemmatize_scene(self.scene_label)
+        lemmatizer.lemmatize_all_interactions(self.G)
+        lemmatizer.lemmatize_all_attributes(self.G)
+        lemmatizer.lemmatize_all_relationships(self.G)
 
     def pprint(self) -> None:
         """Pretty-print the clip graph summary (ref :572-590)."""

@@ -273,3 +273,118 @@ def test_load_movie_graph_latest_user_wins(tmp_path):
     assert mg.castlist == CASTLIST
     mg.attach_information(mergers={"a": 1}, sid_clip={1: "x"})
     assert mg.mergers == {"a": 1} and mg.sid_clip == {1: "x"}
+
+
+class _SwapChecker:
+    """Duck-typed spell checker (``correction(word) -> word``)."""
+
+    def __init__(self, corrections):
+        self.corrections = corrections
+
+    def correction(self, word):
+        return self.corrections.get(word, word)
+
+
+def test_fix_spelling(capsys):
+    clip = graphs.ClipGraph(_authoring_clip_json())
+    clip.situation = "Meeting, at-THE office!"
+    clip.fix_spelling(_SwapChecker({"greets": "greet", "office": "bureau"}))
+    # lower-cased, punctuation dropped, corrections applied
+    assert clip.situation == "meeting at the bureau"
+    assert clip.scene_label == "bureau"
+    assert clip.G.node[5]["name"] == "greet"   # interaction
+    assert clip.G.node[4]["name"] == "old"     # attribute text unchanged
+    assert clip.G.node[0]["name"] == "Ann"     # entities untouched
+    out = capsys.readouterr().out
+    assert "ORI:" in out and "FIX:" in out
+
+
+def test_fix_spelling_golden_vs_reference(capsys):
+    from tests import reference_bridge as bridge
+
+    if not bridge.reference_available():
+        pytest.skip("reference not mounted")
+    ref = bridge.import_reference()
+
+    def build_pair():
+        mine = graphs.ClipGraph(_authoring_clip_json())
+        mine.situation = "Meeting, at-THE office!"
+        theirs = ref.GraphClasses.ClipGraph.__new__(ref.GraphClasses.ClipGraph)
+        theirs.situation = mine.situation
+        theirs.scene_label = mine.scene_label
+        g = bridge.ShimDiGraph()
+        for nid, attrs in mine.G.node.items():
+            g.node[nid] = dict(attrs)
+            g.adj[nid] = {v: {} for v in mine.G.neighbors(nid)}
+        theirs.G = g
+        return mine, theirs
+
+    mine, theirs = build_pair()
+    checker = _SwapChecker({"greets": "greet", "office": "bureau", "old": "aged"})
+    theirs.fix_spelling(checker)
+    ref_out = capsys.readouterr().out
+    mine.fix_spelling(checker)
+    my_out = capsys.readouterr().out
+
+    assert mine.situation == theirs.situation
+    assert mine.scene_label == theirs.scene_label
+    for nid in mine.G.node:
+        assert mine.G.node[nid]["name"] == theirs.G.node[nid]["name"]
+    assert my_out == ref_out  # ORI/FIX print order matches too
+
+
+def _graph_upper_names(ntype):
+    def fn(G):
+        for n in G.nodes():
+            if G.node[n].get("type") == ntype:
+                G.node[n]["name"] = G.node[n]["name"].upper()
+    return fn
+
+
+class _FakeLemmatizer:
+    def __init__(self):
+        self.calls = []
+        self.lemmatize_all_interactions = self._wrap(
+            "interactions", _graph_upper_names("interaction"))
+        self.lemmatize_all_attributes = self._wrap(
+            "attributes", _graph_upper_names("attribute"))
+        self.lemmatize_all_relationships = self._wrap(
+            "relationships", _graph_upper_names("relationship"))
+
+    def _wrap(self, tag, fn):
+        def wrapped(G):
+            self.calls.append(tag)
+            fn(G)
+        return wrapped
+
+    def lemmatize_situation(self, s):
+        self.calls.append("situation")
+        return s + "/lemma"
+
+    def lemmatize_scene(self, s):
+        self.calls.append("scene")
+        return s + "/lemma"
+
+
+def test_lemmatize_protocol():
+    clip = graphs.ClipGraph(_authoring_clip_json())
+    lem = _FakeLemmatizer()
+    clip.lemmatize(lem)
+    # call order matches ref GraphClasses.py:518-525
+    assert lem.calls == [
+        "situation", "scene", "interactions", "attributes", "relationships"
+    ]
+    assert clip.situation == "meeting/lemma"
+    assert clip.scene_label == "office/lemma"
+    assert clip.G.node[5]["name"] == "GREETS"
+    assert clip.G.node[4]["name"] == "OLD"
+    assert clip.G.node[3]["name"] == "FRIEND"
+    assert clip.G.node[0]["name"] == "Ann"  # entities untouched
+
+
+def test_lemmatize_without_lemmatizer_matches_reference_failure():
+    # the reference's `import lemmatizer` is commented out
+    # (GraphClasses.py:18), so its lemmatize() raises NameError
+    clip = graphs.ClipGraph(_authoring_clip_json())
+    with pytest.raises(NameError):
+        clip.lemmatize()
