@@ -10,9 +10,15 @@ This is exact, including the dropout masks: the gathered first-layer
 activations have the same shape/order as the old gather-then-embed path, so
 the same PRNG stream produces identical masks (verified by test).
 
+In the ctx branch the second layers additionally move AFTER the masked
+mean over the clip axis (``_pooled_ctx_from_h1``): linear2 commutes with
+the pool, so its matmuls run on [N, joint] pooled rows instead of
+[N*R, joint] per-clip rows — an R(=18)-fold cut of the branch's dominant
+FLOPs in forward and backward, with the dropout stream untouched.
+
 FLOP effect at real dims: per-use work drops from ~8.7 MFLOP/row to
-~1.6 MFLOP/row in the ctx branch (5.5x), with the first layers amortized
-over the deduplicated tables.
+~1.6 MFLOP/row in the ctx branch with table-level first layers, and the
+remaining per-clip work is dropout/relu/pool only.
 """
 
 from __future__ import annotations
@@ -90,6 +96,58 @@ def _embed_from_h1(
     return jnp.concatenate([txt, vis, tr1, tr2], axis=-1)
 
 
+def _pooled_ctx_from_h1(
+    params: Dict, prefix: str, h1: H1Tables, idx: jnp.ndarray,
+    mask: jnp.ndarray, spec, rng: DropoutRng, deterministic: bool,
+    guard_zero_divide: bool,
+) -> jnp.ndarray:
+    """ctx branch with the second layers applied AFTER the masked mean.
+
+    linear2 commutes with the masked mean over the clip axis: pooling the
+    per-clip second-layer outputs equals applying the second layer once to
+    the pooled relu activations, with the bias scaled by mask_sum/divider
+    (1 for any non-empty context, 0 for an empty guarded one, inf/nan
+    propagation unchanged for the unguarded reference divider, ref
+    mlp/model.py:174-181). The dropout calls keep the exact shapes and
+    order of ``_embed_from_h1`` (txt, vis, tr1, tr2 on [N, R, joint]) so
+    the PRNG mask stream is bit-identical; only the second-layer matmuls
+    shrink from [N*R, joint] to [N, joint] rows — an R-fold cut of the ctx
+    branch's dominant FLOPs in forward and backward. The pool itself is a
+    batched contraction with f32 accumulation (MXU), not a bf16 tree sum.
+    """
+    p = spec.dropout
+    cdt = compute_dtype(spec)
+    joint = spec.joint_dim
+
+    m = mask.astype(jnp.float32)                       # [N, R]
+    msum = m.sum(axis=1, keepdims=True)                # [N, 1]
+    divider = jnp.where(msum == 0, 1.0, msum) if guard_zero_divide else msum
+    bias_scale = msum / divider                        # [N, 1] of 1s/0s
+
+    def pooled(h):
+        h = jax.nn.relu(dropout(h, p, rng, deterministic))
+        s = jnp.einsum(
+            "nrj,nr->nj", h, m.astype(h.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return s / divider
+
+    def second(name, ph):
+        prm = params[name]
+        kernel = prm["kernel"]
+        if cdt is not None:
+            ph, kernel = ph.astype(cdt), kernel.astype(cdt)
+        y = jnp.dot(ph, kernel, preferred_element_type=jnp.float32)
+        return y + prm["bias"].astype(y.dtype) * bias_scale.astype(y.dtype)
+
+    clip = h1.clip[idx[..., 0]]
+    txt = second("txt2_%s" % prefix, pooled(clip[..., :joint]))
+    vis = second("vis2_%s" % prefix, pooled(clip[..., joint:]))
+    tr1 = second("tracks12_%s" % prefix, pooled(h1.tr1[idx[..., 1]]))
+    tr2 = second("tracks22_%s" % prefix, pooled(h1.tr2[idx[..., 2]]))
+    return jnp.concatenate([txt, vis, tr1, tr2], axis=-1)
+
+
 def midfusion_maxtracks_hybrid(
     params: Dict,
     spec,
@@ -121,13 +179,10 @@ def midfusion_maxtracks_hybrid(
         h1c = project_tables(params, "ctx", tables, spec)
         R = feat_idx.shape[2] - 1
         flat_idx = feat_idx[:, :, 1:, :].reshape(B * T, R, 3)
-        embedded = _embed_from_h1(
-            params, "ctx", h1c, flat_idx, spec, drop, deterministic
-        )  # [B*T, R, 3*joint]
-        mask = rels_mask.reshape(B * T, R, 1).astype(embedded.dtype)
-        divider = mask.sum(axis=1)
-        divider = jnp.where(divider == 0, 1.0, divider)
-        pooled = (embedded * mask).sum(axis=1) / divider
+        pooled = _pooled_ctx_from_h1(
+            params, "ctx", h1c, flat_idx, rels_mask.reshape(B * T, R),
+            spec, drop, deterministic, guard_zero_divide=True,
+        )
         output_ctx = dropout(
             jnp.tanh(pooled), spec.dropout, drop, deterministic
         )
@@ -176,12 +231,11 @@ def midfusion_hybrid(
     if spec.ctx:
         h1c = project_tables(params, "ctx", tables, spec)
         R = feat_idx.shape[1] - 1
-        embedded = _embed_from_h1(
-            params, "ctx", h1c, feat_idx[:, 1:, :], spec, drop, deterministic
+        pooled = _pooled_ctx_from_h1(
+            params, "ctx", h1c, feat_idx[:, 1:, :], rels_mask.reshape(B, R),
+            spec, drop, deterministic,
+            guard_zero_divide=False,  # no zero guard (ref model.py:174-181)
         )
-        mask = rels_mask.reshape(B, R, 1).astype(embedded.dtype)
-        divider = mask.sum(axis=1)  # no zero guard (ref model.py:174-181)
-        pooled = (embedded * mask).sum(axis=1) / divider
         output_ctx = dropout(
             jnp.tanh(pooled), spec.dropout, drop, deterministic
         )
