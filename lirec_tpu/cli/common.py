@@ -88,6 +88,11 @@ def build_parser(preset_name: str) -> argparse.ArgumentParser:
                         "one-dispatch device sweep (same metrics, slower; "
                         "applies to checkpoint eval and the training-time "
                         "eval cadence)")
+    p.add_argument("--per-batch-train", action="store_true",
+                   help="dispatch one device step per batch with the "
+                        "reference's per-iteration telemetry prints, "
+                        "instead of the default one-dispatch-per-epoch "
+                        "training sweep (same parameter trajectory)")
     p.add_argument("--mesh", default="",
                    help="DATAxMODEL device mesh, e.g. 4x2: shards training "
                         "(dp over batch, tp over joint_dim) and the packed "
@@ -311,6 +316,7 @@ def run_entry(preset_name: str, argv=None) -> dict:
             checkpoint_backend=args.checkpoint_backend,
             mesh=mesh,
             host_eval=args.host_eval,
+            epoch_sweep=False if args.per_batch_train else None,
         )
         params = out["params"]
         results["train"] = {"losses": out["losses"]}

@@ -26,7 +26,7 @@ from lirec_tpu.evaluation.runner import evaluate
 from lirec_tpu.train.optim import make_optimizer
 from lirec_tpu.utils.meters import Averaging, MetricsLogger
 
-__all__ = ["train", "make_train_step"]
+__all__ = ["train", "make_train_step", "make_epoch_sweep"]
 
 MODEL_KEYS = ("features", "feat_idx", "rels_mask")
 
@@ -66,6 +66,82 @@ def make_train_step(bundle, tx):
     return step
 
 
+def make_epoch_sweep(bundle, tx):
+    """Build the jitted whole-epoch sweep: ONE dispatch runs every step of
+    the epoch in a `lax.fori_loop` over pre-staged stacked batches
+    ([S, B, ...] arrays), with params/opt_state in the carry and the
+    per-step PRNG folded exactly like the per-batch loop
+    (``fold_in(base_rng, rng_offset + i)``), so the two paths produce the
+    same parameter trajectory. Removes S-1 host round-trips per epoch —
+    on a tunneled chip the per-batch path is dispatch-latency-bound."""
+    import jax.numpy as jnp
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("tr_sum_max_flag",),
+        donate_argnums=(1,),  # opt_state, as in make_train_step
+    )
+    def sweep(params, opt_state, stacked, tables, base_rng, rng_offset,
+              tr_sum_max_flag=True):
+        n_steps = stacked["labels"].shape[0]
+
+        def body(i, carry):
+            params, opt_state, losses = carry
+            batch = jax.tree.map(lambda v: v[i], stacked)
+            rng = jax.random.fold_in(base_rng, rng_offset + i)
+            rng_drop, rng_loss = jax.random.split(rng)
+            model_batch = {k: batch[k] for k in MODEL_KEYS if k in batch}
+
+            def loss_fn(p):
+                outputs = bundle.apply(
+                    p, model_batch, tables=tables,
+                    deterministic=False, rng=rng_drop,
+                )
+                return bundle.loss(
+                    outputs, batch, rng=rng_loss,
+                    tr_sum_max_flag=tr_sum_max_flag,
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, losses.at[i].set(loss)
+
+        return jax.lax.fori_loop(
+            0, n_steps, body,
+            (params, opt_state, jnp.zeros((n_steps,), jnp.float32)),
+        )
+
+    return sweep
+
+
+def _stack_epoch_batches(batches, full_batch: int):
+    """Stack an epoch's host batches into [S, B, ...] arrays. A ragged
+    leftover batch is padded to the full batch size by repeating row 0
+    with ``loss_weight`` 0 (the padded rows drop out of every loss mean,
+    models/losses._wmean); when any batch is padded, all batches carry a
+    loss_weight so the stacked keys are uniform."""
+    any_ragged = any(b["labels"].shape[0] != full_batch for b in batches)
+    padded = []
+    for b in batches:
+        n = np.asarray(b["labels"]).shape[0]
+        out = dict(b)
+        if n != full_batch:
+            pad = full_batch - n
+            out = {}
+            for k, v in b.items():
+                v = np.asarray(v)
+                fill = np.broadcast_to(v[:1], (pad,) + v.shape[1:])
+                out[k] = np.concatenate([v, fill.astype(v.dtype)], axis=0)
+            out["loss_weight"] = np.concatenate(
+                [np.ones(n, np.float32), np.zeros(pad, np.float32)]
+            )
+        elif any_ragged:
+            out["loss_weight"] = np.ones(full_batch, np.float32)
+        padded.append(out)
+    return {k: np.stack([b[k] for b in padded]) for k in padded[0]}
+
+
 def train(
     cfg,
     bundle,
@@ -84,6 +160,7 @@ def train(
     checkpoint_backend: str = "msgpack",
     mesh=None,
     host_eval: bool = False,
+    epoch_sweep: Optional[bool] = None,
 ) -> Dict:
     """Run the epoch loop; returns {'params', 'opt_state', 'saver',
     'final_path'} (control flow: ref mlp/train.py:41-107).
@@ -91,7 +168,14 @@ def train(
     Training-cadence evaluation (every ``test_fr`` epochs, ref
     mlp/train.py:75-91) goes through the packed one-dispatch device sweep
     (evaluation/packed.py) — mesh-aware, same metric dict as the host loop
-    — unless ``host_eval`` (or ``dense``) forces the per-batch host path."""
+    — unless ``host_eval`` (or ``dense``) forces the per-batch host path.
+
+    ``epoch_sweep``: run each epoch as ONE device dispatch (fori_loop over
+    the epoch's stacked batches — the train-side analogue of packed eval;
+    same parameter trajectory as the per-batch loop, which stays available
+    for reference-style per-iteration telemetry). Default (None): on for
+    packed single-process runs, off for dense batches and multi-process
+    (each process feeds per-batch local shards there)."""
     o, t = cfg.optim, cfg.tasks
     params = params if params is not None else bundle.params
     tx = make_optimizer(o.lr, o.weight_decay)
@@ -131,6 +215,25 @@ def train(
         return host_copy(tree)
 
     step = make_train_step(bundle, tx)
+    if epoch_sweep is None:
+        epoch_sweep = not dense and not multiprocess
+    use_sweep = epoch_sweep and not dense and not multiprocess
+    sweep = make_epoch_sweep(bundle, tx) if use_sweep else None
+
+    def commit_stacked(stacked):
+        if mesh is None:
+            return jax.tree.map(jax.numpy.asarray, stacked)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from lirec_tpu.parallel import mesh as mesh_lib
+
+        shardings = {
+            k: NamedSharding(
+                mesh, P(None, "data", *([None] * (np.ndim(v) - 2)))
+            )
+            for k, v in stacked.items()
+        }
+        return mesh_lib.shard_tree(stacked, shardings)
 
     def commit_batch(batch):
         if mesh is None:
@@ -224,7 +327,29 @@ def train(
         batch_time, data_time, loss_meter = Averaging(), Averaging(), Averaging()
         start = time.time()
         end = time.time()
-        for i, batch in enumerate(prefetch_to_device(iterator)):
+        if use_sweep:
+            batches = [
+                b for b in iterator
+                if (b["labels"].shape[0] if b["labels"].ndim else 1) > 1
+            ]  # size-1 batches skipped, ref :55-56
+            if batches:
+                stacked = commit_stacked(
+                    _stack_epoch_batches(batches, o.batch_size)
+                )
+                data_time.update(time.time() - end)
+                params, opt_state, step_losses = sweep(
+                    params, opt_state, stacked, tables, base_rng,
+                    epoch * 100003, tr_sum_max_flag=tr_sum_max_flag,
+                )
+                epoch_losses = [float(x) for x in np.asarray(step_losses)]
+                for loss, b in zip(epoch_losses, batches):
+                    loss_meter.update(loss, b["labels"].shape[0])
+                batch_time.update(
+                    (time.time() - end) / max(len(batches), 1)
+                )
+        for i, batch in enumerate(
+            () if use_sweep else prefetch_to_device(iterator)
+        ):
             data_time.update(time.time() - end)
             n = batch["labels"].shape[0] if batch["labels"].ndim else 1
             if n == 1:
