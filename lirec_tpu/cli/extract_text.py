@@ -140,9 +140,14 @@ def extract(
                     total += 1
         if embeddings is None:
             embeddings = np.zeros((0, encoder.layers * encoder.dim), np.float32)
-        np.save(npy_path, embeddings)
+        # t2i first, then the npy atomically: the resume check requires BOTH
+        # files, so a crash/concurrent writer can never publish a torn pair
+        # (the reference's existence-check parallelism, ref :162-169, could)
+        from lirec_tpu.utils.io import atomic_np_save
+
         with open(t2i_path, "w") as f:
             f.write("\n".join(token_lines) + ("\n" if token_lines else ""))
+        atomic_np_save(npy_path, embeddings)
         n_done += 1
         if verbose:
             print("%d/%d %s" % (n_done, len(work), key), file=sys.stderr)

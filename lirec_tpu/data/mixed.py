@@ -109,8 +109,10 @@ class MixedFeatureReader:
         row = np.hstack(parts)
 
         if disk_path is not None:
+            from lirec_tpu.utils.io import atomic_np_save
+
             os.makedirs(ops.dirname(disk_path), exist_ok=True)
-            np.save(disk_path, row)
+            atomic_np_save(disk_path, row)
         if idx is not None:
             self._time_cache[idx] = row
         return row

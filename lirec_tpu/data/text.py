@@ -242,8 +242,10 @@ class TextFeatureReader:
         raw = np.load(raw_path).reshape(-1, self.text_layers, self.text_dim)
         self.features = contextualize(raw, self.contextualization, self.text_dim)
         if self.cache_to_disk:
+            from lirec_tpu.utils.io import atomic_np_save
+
             os.makedirs(ops.dirname(ctx_path), exist_ok=True)
-            np.save(ctx_path, self.features)
+            atomic_np_save(ctx_path, self.features)
         return self.features
 
     def free(self) -> None:

@@ -142,6 +142,14 @@ def _stack_epoch_batches(batches, full_batch: int):
     return {k: np.stack([b[k] for b in padded]) for k in padded[0]}
 
 
+def _local_value(arr):
+    """Host value of a device array; for multi-process (not fully
+    addressable) arrays, reads this process's replica."""
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    return np.asarray(arr.addressable_data(0))
+
+
 def train(
     cfg,
     bundle,
@@ -161,6 +169,7 @@ def train(
     mesh=None,
     host_eval: bool = False,
     epoch_sweep: Optional[bool] = None,
+    sweep_max_steps: int = 512,
 ) -> Dict:
     """Run the epoch loop; returns {'params', 'opt_state', 'saver',
     'final_path'} (control flow: ref mlp/train.py:41-107).
@@ -174,8 +183,11 @@ def train(
     the epoch's stacked batches — the train-side analogue of packed eval;
     same parameter trajectory as the per-batch loop, which stays available
     for reference-style per-iteration telemetry). Default (None): on for
-    packed single-process runs, off for dense batches and multi-process
-    (each process feeds per-batch local shards there)."""
+    packed runs — including multi-process ones, where every process holds
+    the same seeded global batches and `shard_tree` materializes only its
+    addressable shards — off for dense batches. Epochs longer than
+    ``sweep_max_steps`` run in chunks (bounded stacked-array memory, at
+    most two compiled sweep lengths, same trajectory)."""
     o, t = cfg.optim, cfg.tasks
     params = params if params is not None else bundle.params
     tx = make_optimizer(o.lr, o.weight_decay)
@@ -216,8 +228,10 @@ def train(
 
     step = make_train_step(bundle, tx)
     if epoch_sweep is None:
-        epoch_sweep = not dense and not multiprocess
-    use_sweep = epoch_sweep and not dense and not multiprocess
+        epoch_sweep = not dense
+    use_sweep = (
+        epoch_sweep and not dense and (not multiprocess or mesh is not None)
+    )
     sweep = make_epoch_sweep(bundle, tx) if use_sweep else None
 
     def commit_stacked(stacked):
@@ -332,21 +346,27 @@ def train(
                 b for b in iterator
                 if (b["labels"].shape[0] if b["labels"].ndim else 1) > 1
             ]  # size-1 batches skipped, ref :55-56
-            if batches:
+            # chunk very long epochs so the stacked [S, B, ...] arrays stay
+            # bounded on device (at most 2 compiled sweep lengths: the chunk
+            # size and one remainder); the PRNG offset keeps the global
+            # step index, so chunking never changes the trajectory
+            chunk = max(int(sweep_max_steps), 1)
+            for c0 in range(0, len(batches), chunk):
+                part = batches[c0:c0 + chunk]
                 stacked = commit_stacked(
-                    _stack_epoch_batches(batches, o.batch_size)
+                    _stack_epoch_batches(part, o.batch_size)
                 )
                 data_time.update(time.time() - end)
                 params, opt_state, step_losses = sweep(
                     params, opt_state, stacked, tables, base_rng,
-                    epoch * 100003, tr_sum_max_flag=tr_sum_max_flag,
+                    epoch * 100003 + c0, tr_sum_max_flag=tr_sum_max_flag,
                 )
-                epoch_losses = [float(x) for x in np.asarray(step_losses)]
-                for loss, b in zip(epoch_losses, batches):
-                    loss_meter.update(loss, b["labels"].shape[0])
-                batch_time.update(
-                    (time.time() - end) / max(len(batches), 1)
-                )
+                step_losses = np.asarray(_local_value(step_losses))
+                epoch_losses.extend(float(x) for x in step_losses)
+                for loss, b in zip(step_losses, part):
+                    loss_meter.update(float(loss), b["labels"].shape[0])
+                batch_time.update((time.time() - end) / max(len(part), 1))
+                end = time.time()
         for i, batch in enumerate(
             () if use_sweep else prefetch_to_device(iterator)
         ):

@@ -103,3 +103,22 @@ def test_meters_and_logger(tmp_path):
     assert stack_join(None, a) is a
     assert stack_join(a, None) is a
     assert stack_join(a, a).shape == (4, 3)
+
+
+def test_atomic_np_save(tmp_path):
+    """Shared-cache writes publish atomically (multi-process warming:
+    concurrent writers must never expose a torn .npy)."""
+    import numpy as np
+
+    from lirec_tpu.utils.io import atomic_np_save
+
+    path = str(tmp_path / "row.npy")
+    a = np.arange(12, dtype=np.float32).reshape(3, 4)
+    atomic_np_save(path, a)
+    np.testing.assert_array_equal(np.load(path), a)
+    # overwrite in place (a second process losing the race)
+    atomic_np_save(path, a * 2)
+    np.testing.assert_array_equal(np.load(path), a * 2)
+    # no temp droppings
+    import os
+    assert os.listdir(tmp_path) == ["row.npy"]

@@ -64,3 +64,17 @@ def test_epoch_sweep_under_mesh_matches_single_device(synth_root):
         ),
         single["params"], sharded["params"],
     )
+
+
+def test_epoch_sweep_chunked_matches_unchunked(synth_root):
+    whole = _run(synth_root, 7, epoch_sweep=True)
+    chunked = _run(synth_root, 7, epoch_sweep=True, sweep_max_steps=1)
+    np.testing.assert_allclose(
+        whole["losses"], chunked["losses"], rtol=1e-6, atol=1e-7
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        ),
+        whole["params"], chunked["params"],
+    )
