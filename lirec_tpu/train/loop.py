@@ -142,6 +142,15 @@ def _stack_epoch_batches(batches, full_batch: int):
     return {k: np.stack([b[k] for b in padded]) for k in padded[0]}
 
 
+def _collect_batches(iterator):
+    """One epoch of host batches, size-1 batches skipped (ref
+    mlp/train.py:55-56)."""
+    return [
+        b for b in iterator
+        if (b["labels"].shape[0] if b["labels"].ndim else 1) > 1
+    ]
+
+
 def _local_value(arr):
     """Host value of a device array; for multi-process (not fully
     addressable) arrays, reads this process's replica."""
@@ -333,6 +342,7 @@ def train(
             print(msg)
 
     losses = []
+    pending_batches = None  # epoch-ahead assembly, overlapped with the sweep
     for epoch in range(start_epoch, o.epochs):
         if t.tr_sum_max and epoch >= 20:
             tr_sum_max_flag = True  # curriculum flip (ref :49-51)
@@ -342,31 +352,42 @@ def train(
         start = time.time()
         end = time.time()
         if use_sweep:
-            batches = [
-                b for b in iterator
-                if (b["labels"].shape[0] if b["labels"].ndim else 1) > 1
-            ]  # size-1 batches skipped, ref :55-56
+            batches = (
+                pending_batches if pending_batches is not None
+                else _collect_batches(iterator)
+            )
+            data_time.update(time.time() - end)
             # chunk very long epochs so the stacked [S, B, ...] arrays stay
             # bounded on device (at most 2 compiled sweep lengths: the chunk
             # size and one remainder); the PRNG offset keeps the global
             # step index, so chunking never changes the trajectory
             chunk = max(int(sweep_max_steps), 1)
+            dispatched = []
             for c0 in range(0, len(batches), chunk):
                 part = batches[c0:c0 + chunk]
                 stacked = commit_stacked(
                     _stack_epoch_batches(part, o.batch_size)
                 )
-                data_time.update(time.time() - end)
                 params, opt_state, step_losses = sweep(
                     params, opt_state, stacked, tables, base_rng,
                     epoch * 100003 + c0, tr_sum_max_flag=tr_sum_max_flag,
                 )
-                step_losses = np.asarray(_local_value(step_losses))
-                epoch_losses.extend(float(x) for x in step_losses)
-                for loss, b in zip(step_losses, part):
+                dispatched.append((step_losses, part))
+            # the sweep dispatches are async: assemble the NEXT epoch's
+            # batches (per-sample host work, the real-data bottleneck) while
+            # the device runs this one, then fetch the losses
+            pending_batches = (
+                _collect_batches(iterator)
+                if epoch + 1 < o.epochs else None
+            )
+            for step_losses, part in dispatched:
+                vals = np.asarray(_local_value(step_losses))
+                epoch_losses.extend(float(x) for x in vals)
+                for loss, b in zip(vals, part):
                     loss_meter.update(float(loss), b["labels"].shape[0])
-                batch_time.update((time.time() - end) / max(len(part), 1))
-                end = time.time()
+            if batches:
+                batch_time.update((time.time() - end) / len(batches))
+            end = time.time()
         for i, batch in enumerate(
             () if use_sweep else prefetch_to_device(iterator)
         ):
