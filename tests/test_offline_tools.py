@@ -199,3 +199,16 @@ def test_best_n_saver_policy_matches_reference():
     for key in ("total", "ints", "rels"):
         assert mine.eval[key] == theirs.eval[key], key
         assert mine.worst_idx[key] == theirs.worst_idx[key], key
+
+
+def test_graphs_demo_cli(synth_cfg, capsys):
+    """The py3loader startup.py equivalent (ref moviegraphs/py3loader/
+    startup.py): census + cast + clip pprint over either graph format."""
+    from lirec_tpu.cli.graphs_demo import main
+
+    assert main([synth_cfg.paths.annotations]) == 0
+    out = capsys.readouterr().out
+    assert "movies with graphs" in out
+    assert "Selected movie:" in out
+    assert "Graph information:" in out
+    assert main([synth_cfg.paths.annotations, "--movie", "nope"]) == 1
