@@ -1,0 +1,214 @@
+"""Pallas TPU kernel: the BACKWARD of the hybrid train path's h1 gathers.
+
+The train step's dominant backward cost is accumulating per-use gradients
+into the deduplicated first-layer tables (models/hybrid.py): XLA lowers
+``table[idx]``'s VJP to a scatter-add that measures ~8x off HBM roofline at
+the real shapes ([B*20*18, 2048] updates into a few-thousand-row table,
+~11-way row collisions). This kernel keeps the THREE table-gradient
+accumulators (clip | tr1 | tr2) resident in VMEM across a sequential grid
+over update tiles and applies per-row read-modify-writes there, streaming
+only the updates from HBM — and accumulates in f32 (XLA's scatter
+accumulates bf16 cotangents in bf16).
+
+``gather_h1`` is the custom-vjp entry: forward is the plain XLA gather
+(already fast), backward dispatches to the kernel on TPU and to
+``.at[].add`` elsewhere. Exposed knob mirrors ops/gather_pool.py:
+force='auto'|'pallas'|'reference'|'interpret'.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["gather_h1", "scatter_accum3", "scatter_accum3_reference"]
+
+_FORCE = "auto"  # test hook: lirec_tpu.ops.scatter_accum._FORCE = 'interpret'
+
+
+def scatter_accum3_reference(idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr):
+    """jnp fallback: three .at[].add scatters (XLA's own lowering)."""
+    flat = idx3.reshape(-1, 3)
+    d_c, d_t = g_clip.shape[-1], g_tr1.shape[-1]
+    acc_c = jnp.zeros((n_clip, d_c), jnp.float32).at[flat[:, 0]].add(
+        g_clip.reshape(-1, d_c).astype(jnp.float32)
+    )
+    acc_1 = jnp.zeros((n_tr, d_t), jnp.float32).at[flat[:, 1]].add(
+        g_tr1.reshape(-1, d_t).astype(jnp.float32)
+    )
+    acc_2 = jnp.zeros((n_tr, d_t), jnp.float32).at[flat[:, 2]].add(
+        g_tr2.reshape(-1, d_t).astype(jnp.float32)
+    )
+    return acc_c, acc_1, acc_2
+
+
+def _make_kernel(tile_m: int, d_clip: int, d_tr: int):
+    def _kernel(idx_ref, gc_ref, g1_ref, g2_ref, ac_ref, a1_ref, a2_ref):
+        """One grid step folds TILE_M update rows into the VMEM accumulators.
+
+        idx_ref: SMEM [M*3] flat (clip, tr1, tr2) row triples (prefetched)
+        gc/g1/g2_ref: VMEM [TILE_M, d] update tiles (streamed)
+        ac/a1/a2_ref: VMEM [n, d] f32 accumulators — constant index_map, so
+                      they stay resident across the (sequential) grid
+        """
+        from jax.experimental import pallas as pl
+
+        tile = pl.program_id(0)
+
+        @pl.when(tile == 0)
+        def _zero():
+            ac_ref[...] = jnp.zeros_like(ac_ref)
+            a1_ref[...] = jnp.zeros_like(a1_ref)
+            a2_ref[...] = jnp.zeros_like(a2_ref)
+
+        # fully unrolled row loop (static trips): each row is one dynamic
+        # (1, d) read-modify-write in VMEM; the serialization is inherent
+        # (duplicate rows must accumulate in order)
+        for j in range(tile_m):
+            base = (tile * tile_m + j) * 3
+            rc = idx_ref[base]
+            r1 = idx_ref[base + 1]
+            r2 = idx_ref[base + 2]
+            ac_ref[pl.ds(rc, 1), :] += gc_ref[j, :][None].astype(jnp.float32)
+            a1_ref[pl.ds(r1, 1), :] += g1_ref[j, :][None].astype(jnp.float32)
+            a2_ref[pl.ds(r2, 1), :] += g2_ref[j, :][None].astype(jnp.float32)
+
+    return _kernel
+
+
+def _pick_tile(m: int) -> int:
+    for tile in (512, 256, 128, 64, 32, 16, 8):
+        if m % tile == 0:
+            return tile
+    return 1
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_clip", "n_tr", "interpret", "tile_m")
+)
+def _pallas_call(idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr,
+                 interpret=False, tile_m=None):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    flat_idx = idx3.reshape(-1, 3)
+    m = flat_idx.shape[0]
+    d_c, d_t = g_clip.shape[-1], g_tr1.shape[-1]
+    gc = g_clip.reshape(m, d_c)
+    g1 = g_tr1.reshape(m, d_t)
+    g2 = g_tr2.reshape(m, d_t)
+    tile_m = tile_m or _pick_tile(m)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # idx triples
+        grid=(m // tile_m,),
+        in_specs=[
+            pl.BlockSpec((tile_m, d_c), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, d_t), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, d_t), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_clip, d_c), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tr, d_t), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tr, d_t), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        _make_kernel(tile_m, d_c, d_t),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_clip, d_c), jnp.float32),
+            jax.ShapeDtypeStruct((n_tr, d_t), jnp.float32),
+            jax.ShapeDtypeStruct((n_tr, d_t), jnp.float32),
+        ],
+        interpret=interpret,
+    )(flat_idx.reshape(-1), gc, g1, g2)
+
+
+def _supported(idx3, d_clip, d_tr, n_clip, n_tr) -> bool:
+    m = 1
+    for s in idx3.shape[:-1]:
+        m *= s
+    acc_bytes = (n_clip * d_clip + 2 * n_tr * d_tr) * 4
+    return (
+        m % 8 == 0
+        and d_clip % 128 == 0
+        and d_tr % 128 == 0
+        # accumulators + a generous margin for streamed update tiles must
+        # fit v5e's 128 MiB VMEM
+        and acc_bytes < 72 * 1024 * 1024
+        # idx triples live whole in SMEM
+        and m * 3 * 4 < 900 * 1024
+    )
+
+
+def scatter_accum3(idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr, force="auto"):
+    """acc[t][idx3[..., t]] += g[t] for the three h1 tables, f32 accum.
+
+    idx3: [..., 3] int32; g_*: [..., d]; returns ([n_clip, d_c] f32,
+    [n_tr, d_t] f32 x2).
+    """
+    idx3 = jnp.asarray(idx3, jnp.int32)
+    if force == "reference":
+        return scatter_accum3_reference(
+            idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr
+        )
+    ok = _supported(idx3, g_clip.shape[-1], g_tr1.shape[-1], n_clip, n_tr)
+    if force in ("interpret", "pallas") and not ok:
+        raise ValueError(
+            "scatter_accum3 kernel needs M %% 8 == 0, dims %% 128 == 0, "
+            "accumulators resident in VMEM; got idx %s d_clip %d d_tr %d "
+            "n_clip %d n_tr %d"
+            % (idx3.shape, g_clip.shape[-1], g_tr1.shape[-1], n_clip, n_tr)
+        )
+    if force == "interpret":
+        return _pallas_call(
+            idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr, interpret=True
+        )
+    on_tpu = jax.default_backend() == "tpu"
+    if force == "pallas" or (force == "auto" and on_tpu and ok):
+        return _pallas_call(idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr)
+    return scatter_accum3_reference(idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_gather_h1(n_clip, n_tr, dt_c, dt_1, dt_2):
+    dt_c, dt_1, dt_2 = jnp.dtype(dt_c), jnp.dtype(dt_1), jnp.dtype(dt_2)
+
+    @jax.custom_vjp
+    def g(clip, tr1, tr2, idx3):
+        return clip[idx3[..., 0]], tr1[idx3[..., 1]], tr2[idx3[..., 2]]
+
+    def fwd(clip, tr1, tr2, idx3):
+        return g(clip, tr1, tr2, idx3), idx3
+
+    def bwd(idx3, cotangents):
+        g_clip, g_tr1, g_tr2 = cotangents
+        acc_c, acc_1, acc_2 = scatter_accum3(
+            idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr, force=_FORCE
+        )
+        return (
+            acc_c.astype(dt_c), acc_1.astype(dt_1), acc_2.astype(dt_2), None
+        )
+
+    g.defvjp(fwd, bwd)
+    return g
+
+
+def gather_h1(clip, tr1, tr2, idx3):
+    """(clip[idx3[...,0]], tr1[idx3[...,1]], tr2[idx3[...,2]]) with the
+    table-gradient scatter running through the pallas accumulator on TPU
+    (module-level ``_FORCE`` overrides dispatch for tests). Forward is the
+    plain XLA gather either way."""
+    fn = _make_gather_h1(
+        clip.shape[0], tr1.shape[0],
+        clip.dtype.name, tr1.dtype.name, tr2.dtype.name,
+    )
+    return fn(clip, tr1, tr2, jnp.asarray(idx3, jnp.int32))

@@ -1,0 +1,71 @@
+"""scatter_accum3 kernel (interpret mode) == XLA .at[].add; the gather_h1
+custom VJP matches plain-gather gradients. The kernel is a measured
+NEGATIVE result on chip (BENCH.md: XLA's scatter wins at the train shapes)
+— kept as reproducible ablation infrastructure (tools/bench_scatter.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lirec_tpu.ops import scatter_accum as sa
+
+
+@pytest.fixture
+def data():
+    rng = np.random.default_rng(0)
+    M, NC, NT, DC, DT = 64, 17, 23, 256, 128
+    idx3 = rng.integers(0, [NC, NT, NT], size=(M, 3)).astype(np.int32)
+    return (
+        jnp.asarray(idx3),
+        jnp.asarray(rng.standard_normal((M, DC)), jnp.float32),
+        jnp.asarray(rng.standard_normal((M, DT)), jnp.float32),
+        jnp.asarray(rng.standard_normal((M, DT)), jnp.float32),
+        NC, NT,
+    )
+
+
+def test_scatter_accum3_interpret_matches_xla(data):
+    idx3, gc, g1, g2, NC, NT = data
+    ref = sa.scatter_accum3_reference(idx3, gc, g1, g2, NC, NT)
+    ker = sa.scatter_accum3(idx3, gc, g1, g2, NC, NT, force="interpret")
+    for a, b in zip(ref, ker):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+        )
+
+
+def test_gather_h1_vjp_matches_plain_gather(data):
+    idx3, _, _, _, NC, NT = data
+    rng = np.random.default_rng(1)
+    clip = jnp.asarray(rng.standard_normal((NC, 256)), jnp.float32)
+    tr1 = jnp.asarray(rng.standard_normal((NT, 128)), jnp.float32)
+    tr2 = jnp.asarray(rng.standard_normal((NT, 128)), jnp.float32)
+
+    def loss_custom(c, t1, t2):
+        a, b, d = sa.gather_h1(c, t1, t2, idx3)
+        return jnp.tanh(a).sum() + (b * d).sum()
+
+    def loss_plain(c, t1, t2):
+        a = c[idx3[:, 0]]
+        b, d = t1[idx3[:, 1]], t2[idx3[:, 2]]
+        return jnp.tanh(a).sum() + (b * d).sum()
+
+    old = sa._FORCE
+    try:
+        sa._FORCE = "interpret"
+        ga = jax.grad(loss_custom, argnums=(0, 1, 2))(clip, tr1, tr2)
+    finally:
+        sa._FORCE = old
+    gb = jax.grad(loss_plain, argnums=(0, 1, 2))(clip, tr1, tr2)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_scatter_accum3_shape_gate():
+    bad_idx = jnp.zeros((7, 3), jnp.int32)  # M % 8 != 0
+    g = jnp.zeros((7, 128), jnp.float32)
+    with pytest.raises(ValueError, match="scatter_accum3"):
+        sa.scatter_accum3(bad_idx, g, g, g, 16, 16, force="pallas")
