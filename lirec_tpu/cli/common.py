@@ -88,6 +88,10 @@ def build_parser(preset_name: str) -> argparse.ArgumentParser:
                         "one-dispatch device sweep (same metrics, slower; "
                         "applies to checkpoint eval and the training-time "
                         "eval cadence)")
+    p.add_argument("--assembly-workers", type=int, default=0,
+                   help="sample-assembly worker processes (the reference "
+                        "ran 4 DataLoader workers); 0 = in-process. "
+                        "Identical batches at any worker count")
     p.add_argument("--per-batch-train", action="store_true",
                    help="dispatch one device step per batch with the "
                         "reference's per-iteration telemetry prints, "
@@ -317,6 +321,7 @@ def run_entry(preset_name: str, argv=None) -> dict:
             mesh=mesh,
             host_eval=args.host_eval,
             epoch_sweep=False if args.per_batch_train else None,
+            assembly_workers=args.assembly_workers,
         )
         params = out["params"]
         results["train"] = {"losses": out["losses"]}

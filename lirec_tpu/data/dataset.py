@@ -38,6 +38,10 @@ from lirec_tpu.data.mixed import MixedFeatureReader
 __all__ = ["FeatureTables", "InteractionDataset", "first_choice"]
 
 
+def _nested_list_dict():
+    return defaultdict(list)
+
+
 def first_choice(labels: Sequence[str], rng: np.random.Generator) -> str:
     """Deterministic multi-label chooser (used by parity tests)."""
     return labels[0]
@@ -163,8 +167,10 @@ class InteractionDataset:
         self.idxs_with_triplets: List[Tuple[int, int]] = []
         self.mv_sc_tr2triplidx: Dict[Tuple, int] = {}
         self.mv2sc2intersid: Dict[str, Dict[int, List[int]]] = {}
+        # module-level factory (not a lambda) so the dataset pickles into
+        # assembly workers (data/pipeline.AssemblyPool)
         self.pair2scenes: Dict[Tuple, Dict[int, List[int]]] = defaultdict(
-            lambda: defaultdict(list)
+            _nested_list_dict
         )
         movie_scene = set()
         for inter in self.interactions:

@@ -13,7 +13,101 @@ from typing import Dict, Iterator, List
 
 import numpy as np
 
-__all__ = ["collate", "BatchIterator", "prefetch_to_device"]
+__all__ = ["collate", "BatchIterator", "prefetch_to_device", "AssemblyPool"]
+
+
+_POOL_DATASET = None
+
+
+def _pool_init(dataset):
+    global _POOL_DATASET
+    _POOL_DATASET = dataset
+
+
+def _pool_probe(_):
+    return _POOL_DATASET is not None
+
+
+def _pool_assemble_batch(args):
+    return _assemble_batch_with(_POOL_DATASET, args)
+
+
+def _assemble_batch_with(dataset, args):
+    """One collated batch from per-sample PRNG streams ((seed, epoch, i))
+    — execution-order and process-placement independent."""
+    idxs, seed, epoch = args
+    return collate([
+        dataset.__getitem__(
+            int(i), np.random.default_rng((seed, epoch, int(i)))
+        )
+        for i in idxs
+    ])
+
+
+class AssemblyPool:
+    """Worker processes for per-sample batch assembly.
+
+    The reference ran its DataLoader with ``num_workers=4``
+    (ref mlp/train.py:33-37) because per-sample Python assembly was its
+    bottleneck; the packed design shrank each sample to index tensors but
+    the ~0.1 ms/sample Python cost remains — at real-data scale it rivals
+    the 5 ms device step per epoch. Workers cut it by ~n_workers with
+    bitwise-identical output: every sample draws from its own
+    ``default_rng((seed, epoch, i))`` stream, so assembly is independent
+    of execution order and of which process runs it (the serial
+    ``workers`` path uses the same per-sample streams).
+
+    Uses the 'spawn' context (fork is unsafe with a live JAX runtime) and
+    strips the TPU-attach bootstrap from the workers' environment — they
+    only ever run numpy.
+    """
+
+    def __init__(self, dataset, workers: int, probe_timeout: float = 120.0):
+        import multiprocessing as mp
+        import os
+
+        ctx = mp.get_context("spawn")
+        saved = {
+            k: os.environ.pop(k, None)
+            for k in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")
+        }
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        try:
+            self._pool = ctx.Pool(
+                workers, initializer=_pool_init, initargs=(dataset,)
+            )
+            # spawn re-imports __main__: for a non-importable parent (stdin
+            # scripts, notebooks) workers die at bootstrap and the pool
+            # RESPAWNS them forever — a silent hang at the first map. The
+            # probe turns that into a clean failure the caller can catch
+            # (BatchIterator then assembles inline with the same streams).
+            self._pool.map_async(_pool_probe, [0]).get(timeout=probe_timeout)
+        except BaseException:
+            pool = getattr(self, "_pool", None)
+            if pool is not None:
+                pool.terminate()
+            raise
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    def assemble_batches(self, tasks):
+        """tasks: [(idx_list, seed, epoch)] -> iterator of collated batch
+        dicts, in order (imap: batches stream back as workers finish)."""
+        return self._pool.imap(_pool_assemble_batch, tasks)
+
+    def close(self) -> None:
+        self._pool.terminate()
+        self._pool.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def prefetch_to_device(iterator, size: int = 2):
@@ -71,6 +165,7 @@ class BatchIterator:
         drop_last: bool = False,
         seed: int = 0,
         dense: bool = False,
+        workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -78,7 +173,36 @@ class BatchIterator:
         self.drop_last = drop_last
         self.seed = seed
         self.dense = dense
+        # workers > 0: assemble samples in an AssemblyPool with per-sample
+        # PRNG streams default_rng((seed, epoch, i)) — execution-order
+        # independent, so any worker count (including the in-process
+        # fallback used on pool failure) yields identical batches
+        self.workers = workers
+        self._pool = None
         self.epoch = 0
+
+    def _epoch_batches(self, order):
+        """Collated batches via the worker pool (falls back inline —
+        unpicklable dataset, non-importable __main__ — with identical
+        output: same per-sample PRNG streams either way)."""
+        tasks = [
+            ([int(i) for i in order[s : s + self.batch_size]],
+             self.seed, self.epoch)
+            for s in range(0, len(order), self.batch_size)
+        ]
+        if self._pool is None:
+            try:
+                self._pool = AssemblyPool(self.dataset, self.workers)
+            except Exception:
+                self._pool = False
+        if self._pool:
+            return self._pool.assemble_batches(tasks)
+        return (_assemble_batch_with(self.dataset, t) for t in tasks)
+
+    def close(self) -> None:
+        if self._pool:
+            self._pool.close()
+        self._pool = None
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -103,6 +227,12 @@ class BatchIterator:
             and not getattr(self.dataset, "test_rels_multi_clip", False)
         ):
             materialized = self.dataset.materialize()
+        if self.workers and not self.dense and materialized is None:
+            if self.drop_last:
+                order = order[: (len(order) // self.batch_size) * self.batch_size]
+            yield from self._epoch_batches(order)
+            self.epoch += 1
+            return
         for start in range(0, len(order), self.batch_size):
             chunk = order[start : start + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:

@@ -179,6 +179,7 @@ def train(
     host_eval: bool = False,
     epoch_sweep: Optional[bool] = None,
     sweep_max_steps: int = 512,
+    assembly_workers: int = 0,
 ) -> Dict:
     """Run the epoch loop; returns {'params', 'opt_state', 'saver',
     'final_path'} (control flow: ref mlp/train.py:41-107).
@@ -297,7 +298,7 @@ def train(
     saver = BestNSaver(path=cfg.paths.store_root, n=o.keep_best_n)
     iterator = BatchIterator(
         train_dataset, o.batch_size, shuffle=True, seed=o.seed, dense=dense,
-        drop_last=drop_last,
+        drop_last=drop_last, workers=assembly_workers,
     )
     # rbg keys: ~6x faster dropout-mask generation on TPU, statistically
     # validated (tests/test_prng.py). Param init stays threefry either way
@@ -472,6 +473,7 @@ def train(
                     p_host, o_host, epoch, backend=checkpoint_backend,
                 )
 
+    iterator.close()  # terminate assembly workers (daemonic either way)
     final_path = ""
     if o.save_model and cfg.paths.store_root:
         final_path = ops.join(cfg.paths.store_root, "%d.ckpt" % (o.epochs - 1))
