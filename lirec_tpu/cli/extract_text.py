@@ -140,13 +140,18 @@ def extract(
                     total += 1
         if embeddings is None:
             embeddings = np.zeros((0, encoder.layers * encoder.dim), np.float32)
-        # t2i first, then the npy atomically: the resume check requires BOTH
-        # files, so a crash/concurrent writer can never publish a torn pair
-        # (the reference's existence-check parallelism, ref :162-169, could)
+        # Both files publish atomically, t2i before the npy: the resume
+        # check requires BOTH, so a crash or a concurrent writer (the
+        # reference's existence-check multi-machine sharding, ref :162-169)
+        # can never surface a torn pair or a truncated t2i.
+        import uuid
+
         from lirec_tpu.utils.io import atomic_np_save
 
-        with open(t2i_path, "w") as f:
+        t2i_tmp = "%s.tmp.%d.%s" % (t2i_path, os.getpid(), uuid.uuid4().hex[:8])
+        with open(t2i_tmp, "w") as f:
             f.write("\n".join(token_lines) + ("\n" if token_lines else ""))
+        os.replace(t2i_tmp, t2i_path)
         atomic_np_save(npy_path, embeddings)
         n_done += 1
         if verbose:

@@ -24,6 +24,9 @@ def main(argv=None) -> int:
 
     movies = graphs.load_graphs(args.path)
     print("Found %d movies with graphs" % len(movies))
+    if not movies:
+        print("no movie graphs found under %r" % args.path, file=sys.stderr)
+        return 1
 
     key = args.movie or next(iter(movies))
     if key not in movies:
@@ -40,6 +43,9 @@ def main(argv=None) -> int:
     print()
     print("Selected one clip graph")
     clip_ids = sorted(mg.clip_graphs)
+    if not clip_ids:
+        print("movie %s has no clip graphs" % mg.imdb_key, file=sys.stderr)
+        return 1
     cid = args.clip if args.clip is not None else clip_ids[0]
     if cid not in mg.clip_graphs:
         print("clip %r not in movie (have: %s)" % (cid, clip_ids[:10]),

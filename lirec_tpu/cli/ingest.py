@@ -58,5 +58,13 @@ def main(argv=None) -> str:
     return args.out
 
 
+def script() -> int:
+    """Console-script wrapper: main() returns the artifact path for
+    programmatic use; setuptools wrappers sys.exit() the return value, so
+    exit 0 here (same pattern as extract_text.script)."""
+    main()
+    return 0
+
+
 if __name__ == "__main__":
     main()

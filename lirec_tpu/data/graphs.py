@@ -518,12 +518,16 @@ class ClipGraph:
         """
 
         def fix_label(tag):
-            words = re.findall(r"\w+", tag.lower())
-            fixed = [spell_checker.correction(w) for w in words]
-            if words != fixed:
-                print("ORI:", words)
-                print("FIX:", fixed)
-            return " ".join(fixed)
+            original, corrected = [], []
+            for word in re.findall(r"\w+", tag.lower()):
+                original.append(word)
+                corrected.append(spell_checker.correction(word))
+            if corrected != original:
+                # change report byte-parity with the reference (the golden
+                # test compares captured stdout verbatim)
+                print("ORI:", original)
+                print("FIX:", corrected)
+            return " ".join(corrected)
 
         self.situation = fix_label(self.situation)
         self.scene_label = fix_label(self.scene_label)

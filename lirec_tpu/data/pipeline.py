@@ -94,10 +94,19 @@ class AssemblyPool:
                 else:
                     os.environ[k] = v
 
-    def assemble_batches(self, tasks):
-        """tasks: [(idx_list, seed, epoch)] -> iterator of collated batch
-        dicts, in order (imap: batches stream back as workers finish)."""
-        return self._pool.imap(_pool_assemble_batch, tasks)
+    def assemble_batches(self, tasks, timeout: float = 600.0):
+        """tasks: [(idx_list, seed, epoch)] -> generator of collated batch
+        dicts, in order (imap: batches stream back as workers finish).
+
+        Each result waits at most ``timeout`` seconds: a worker killed
+        mid-task (OOM) loses its in-flight result and a plain imap would
+        block forever. Note a RESPAWNED worker boots with the parent's
+        restored environment (the TPU-attach bootstrap registers, though
+        workers never initialize a jax backend — they only run numpy);
+        the timeout turns the lost-result case into a clear error."""
+        it = self._pool.imap(_pool_assemble_batch, tasks)
+        for _ in range(len(tasks)):
+            yield it.next(timeout)
 
     def close(self) -> None:
         self._pool.terminate()
@@ -173,10 +182,10 @@ class BatchIterator:
         self.drop_last = drop_last
         self.seed = seed
         self.dense = dense
-        # workers > 0: assemble samples in an AssemblyPool with per-sample
-        # PRNG streams default_rng((seed, epoch, i)) — execution-order
-        # independent, so any worker count (including the in-process
-        # fallback used on pool failure) yields identical batches
+        # every assembly path draws from per-sample PRNG streams
+        # default_rng((seed, epoch, i)) — execution-order independent, so
+        # any worker count (0 = in-process, N = AssemblyPool, and the
+        # inline fallback on pool failure) yields identical batches
         self.workers = workers
         self._pool = None
         self.epoch = 0
@@ -193,7 +202,14 @@ class BatchIterator:
         if self._pool is None:
             try:
                 self._pool = AssemblyPool(self.dataset, self.workers)
-            except Exception:
+            except Exception as err:
+                import warnings
+
+                warnings.warn(
+                    "assembly worker pool unavailable (%s: %s); assembling "
+                    "in-process — identical batches, no parallel speedup"
+                    % (type(err).__name__, err)
+                )
                 self._pool = False
         if self._pool:
             return self._pool.assemble_batches(tasks)
@@ -240,7 +256,15 @@ class BatchIterator:
             if materialized is not None:
                 yield {k: v[chunk] for k, v in materialized.items()}
                 continue
-            samples = [self.dataset.__getitem__(int(i), rng) for i in chunk]
+            # per-sample PRNG streams ((seed, epoch, i)) — the SAME streams
+            # the worker pool uses, so every workers= value (0 included)
+            # yields bitwise-identical batches
+            samples = [
+                self.dataset.__getitem__(
+                    int(i), np.random.default_rng((self.seed, self.epoch, int(i)))
+                )
+                for i in chunk
+            ]
             if self.dense:
                 samples = [self.dataset.to_dense(s) for s in samples]
             yield collate(samples)

@@ -115,29 +115,38 @@ def make_epoch_sweep(bundle, tx):
     return sweep
 
 
+def _pad_batch(batch, full_batch: int):
+    """Pad a ragged batch to the full batch size by repeating row 0 with
+    ``loss_weight`` 0 — one compiled shape per epoch, and the padded rows
+    drop out of every loss mean (models/losses._wmean), so values and
+    grads match the unpadded batch. Shared by the per-batch mesh path and
+    the epoch-sweep stacker."""
+    n = np.asarray(batch["labels"]).shape[0]
+    pad = full_batch - n
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        fill = np.broadcast_to(v[:1], (pad,) + v.shape[1:])
+        out[k] = np.concatenate([v, fill.astype(v.dtype)], axis=0)
+    out["loss_weight"] = np.concatenate(
+        [np.ones(n, np.float32), np.zeros(pad, np.float32)]
+    )
+    return out
+
+
 def _stack_epoch_batches(batches, full_batch: int):
-    """Stack an epoch's host batches into [S, B, ...] arrays. A ragged
-    leftover batch is padded to the full batch size by repeating row 0
-    with ``loss_weight`` 0 (the padded rows drop out of every loss mean,
-    models/losses._wmean); when any batch is padded, all batches carry a
-    loss_weight so the stacked keys are uniform."""
+    """Stack an epoch's host batches into [S, B, ...] arrays; ragged
+    leftovers go through `_pad_batch`, and when any batch is padded all
+    batches carry a loss_weight so the stacked keys are uniform."""
     any_ragged = any(b["labels"].shape[0] != full_batch for b in batches)
     padded = []
     for b in batches:
-        n = np.asarray(b["labels"]).shape[0]
-        out = dict(b)
-        if n != full_batch:
-            pad = full_batch - n
-            out = {}
-            for k, v in b.items():
-                v = np.asarray(v)
-                fill = np.broadcast_to(v[:1], (pad,) + v.shape[1:])
-                out[k] = np.concatenate([v, fill.astype(v.dtype)], axis=0)
-            out["loss_weight"] = np.concatenate(
-                [np.ones(n, np.float32), np.zeros(pad, np.float32)]
-            )
+        if np.asarray(b["labels"]).shape[0] != full_batch:
+            out = _pad_batch(b, full_batch)
         elif any_ragged:
-            out["loss_weight"] = np.ones(full_batch, np.float32)
+            out = dict(b, loss_weight=np.ones(full_batch, np.float32))
+        else:
+            out = b
         padded.append(out)
     return {k: np.stack([b[k] for b in padded]) for k in padded[0]}
 
@@ -264,26 +273,8 @@ def train(
             return batch
         from lirec_tpu.parallel import mesh as mesh_lib
 
-        n = batch["labels"].shape[0]
-        if n != o.batch_size:
-            # ragged leftover batch: pad to the full batch size by
-            # repeating row 0 with loss weight 0 — one compiled shape per
-            # epoch, and the padded rows drop out of every loss mean
-            # (models/losses._wmean), so values and grads match the
-            # unpadded batch
-            import jax.numpy as jnp
-
-            pad = o.batch_size - n
-
-            def pad_rows(v):
-                v = jnp.asarray(v)
-                fill = jnp.broadcast_to(v[:1], (pad,) + v.shape[1:])
-                return jnp.concatenate([v, fill.astype(v.dtype)], axis=0)
-
-            batch = {k: pad_rows(v) for k, v in batch.items()}
-            batch["loss_weight"] = jnp.concatenate(
-                [jnp.ones(n, jnp.float32), jnp.zeros(pad, jnp.float32)]
-            )
+        if batch["labels"].shape[0] != o.batch_size:
+            batch = _pad_batch(batch, o.batch_size)
         if multiprocess:
             # every process iterates the same (seeded) global batches;
             # each contributes only ITS contiguous data-axis rows and the

@@ -30,16 +30,19 @@ def test_worker_counts_agree(synth_root):
     pooled_it = BatchIterator(ds, 7, shuffle=True, seed=3, workers=2)
     pooled = _epochs(pooled_it)
     pooled_it.close()
-    # in-process fallback (what a failed pool spawn uses): same streams
-    serial_it = BatchIterator(ds, 7, shuffle=True, seed=3, workers=1)
-    serial_it._pool = False
-    serial = _epochs(serial_it)
-    for eb, es in zip(pooled, serial):
-        assert len(eb) == len(es)
-        for bb, bs in zip(eb, es):
-            assert set(bb) == set(bs)
-            for k in bb:
-                np.testing.assert_array_equal(bb[k], bs[k])
+    # the workers=0 default path (in-process, per-sample streams)
+    default = _epochs(BatchIterator(ds, 7, shuffle=True, seed=3))
+    # the inline fallback a failed pool spawn uses
+    fallback_it = BatchIterator(ds, 7, shuffle=True, seed=3, workers=1)
+    fallback_it._pool = False
+    fallback = _epochs(fallback_it)
+    for other in (default, fallback):
+        for eb, es in zip(pooled, other):
+            assert len(eb) == len(es)
+            for bb, bs in zip(eb, es):
+                assert set(bb) == set(bs)
+                for k in bb:
+                    np.testing.assert_array_equal(bb[k], bs[k])
 
 
 def test_train_with_assembly_workers(synth_root):
