@@ -492,7 +492,7 @@ class InteractionDataset:
             context_gt[1 : length + 1] = gts.reshape(-1, 1)
         else:
             if self.mode == "train":
-                chosen = rng.choice(np.arange(length), R, replace=False)
+                chosen = rng.choice(length, R, replace=False)
             else:
                 chosen = (
                     self.context_idxs[dict_key]
@@ -591,13 +591,9 @@ class InteractionDataset:
                     else:
                         # single-person GT: context = tiled GT row (ref :412-416)
                         output["hash_rel"] = -1
-                        context_idx = np.tile(
-                            np.array(
-                                [[clip_row, gt_tr[0], gt_tr[1]]], np.int32
-                            ),
-                            (R + 1, 1),
-                        )
-                        context_gt = np.ones((R + 1, 1), int) * label
+                        context_idx = np.empty((R + 1, 3), np.int32)
+                        context_idx[:] = (clip_row, gt_tr[0], gt_tr[1])
+                        context_gt = np.full((R + 1, 1), label, int)
                         rels_mask = np.zeros((R, 1), int)
                         rels_mask[0] = 1
                     # GT at slot 0 (ref :419-420)
@@ -683,12 +679,9 @@ class InteractionDataset:
                             gt_tracks[1] = mem_counter  # correct here (ref :528)
                         if t.rels_multitask:
                             rels_labs[mem_counter] = self.rels2idx["None"]
-                            mem_idx[mem_counter] = np.tile(
-                                np.array(
-                                    [[clip_row, wrong[0], wrong[1]]], np.int32
-                                ),
-                                (R + 1, 1),
-                            )
+                            mem_idx[mem_counter] = (
+                                clip_row, wrong[0], wrong[1],
+                            )  # broadcast over the R+1 context rows
                             rels_masks[mem_counter, 0] = 1
                         else:
                             mem_idx[mem_counter, 0, 1:] = wrong
@@ -708,13 +701,9 @@ class InteractionDataset:
                         if t.rels_multitask:
                             for half in ((row, 0), (0, row)):
                                 rels_labs[mem_counter] = self.rels2idx["None"]
-                                mem_idx[mem_counter] = np.tile(
-                                    np.array(
-                                        [[clip_row, half[0], half[1]]],
-                                        np.int32,
-                                    ),
-                                    (R + 1, 1),
-                                )
+                                mem_idx[mem_counter] = (
+                                    clip_row, half[0], half[1],
+                                )  # broadcast over the R+1 context rows
                                 rels_masks[mem_counter, 0] = 1
                                 mem_counter += 1
                         else:
@@ -758,12 +747,13 @@ class InteractionDataset:
         """Context block for a non-GT hypothesis (ref :471-503)."""
         R = self.rels_n_clips
         pair = (name1, name2)
-        hyp_triple = np.array([[clip_row, tr1, tr2]], np.int32)
+        hyp_triple = (clip_row, tr1, tr2)
         if pair in self.rels[movie_idx]:
             scene_labels = self.rels[movie_idx][pair].scene_labels(scene_idx)
             rel_name = self._choose(scene_labels, rng)  # ref scene2rel (:71-75)
             if rel_name == "None":
-                ctx_idx = np.tile(hyp_triple, (R + 1, 1))
+                ctx_idx = np.empty((R + 1, 3), np.int32)
+                ctx_idx[:] = hyp_triple
                 r_mask = np.zeros(R, int)
                 r_mask[0] = 1
                 return ctx_idx, r_mask, rel_name
@@ -777,7 +767,7 @@ class InteractionDataset:
                 ctx_idx[1 : length + 1] = np.asarray(rows, np.int32)
             else:
                 if self.mode == "train":
-                    chosen = rng.choice(np.arange(length), R, replace=False)
+                    chosen = rng.choice(length, R, replace=False)
                 else:
                     chosen = self.context_idxs[dict_key]
                 ctx_idx[1:] = np.asarray(rows, np.int32)[chosen]
@@ -787,7 +777,8 @@ class InteractionDataset:
             # own features only enter via the ints branch, not the context.
             return ctx_idx, r_mask, rel_name
         rel_name = "None"
-        ctx_idx = np.tile(hyp_triple, (R + 1, 1))
+        ctx_idx = np.empty((R + 1, 3), np.int32)
+        ctx_idx[:] = hyp_triple
         r_mask = np.zeros(R, int)
         r_mask[0] = 1
         return ctx_idx, r_mask, rel_name
