@@ -88,6 +88,9 @@ def build_parser(preset_name: str) -> argparse.ArgumentParser:
                         "one-dispatch device sweep (same metrics, slower; "
                         "applies to checkpoint eval and the training-time "
                         "eval cadence)")
+    p.add_argument("--profile", default="",
+                   help="capture a jax profiler trace of the train/eval "
+                        "work into this directory (TensorBoard-viewable)")
     p.add_argument("--assembly-workers", type=int, default=0,
                    help="sample-assembly worker processes (the reference "
                         "ran 4 DataLoader workers); 0 = in-process. "
@@ -112,6 +115,14 @@ def build_parser(preset_name: str) -> argparse.ArgumentParser:
                    help="multi-host bring-up: this host's process index")
     p.add_argument("--quiet", action="store_true")
     return p
+
+
+def _traced(profile_dir: str, fn, *args, **kwargs):
+    """Run fn under a jax profiler trace when --profile is set."""
+    from lirec_tpu.utils.profiling import trace
+
+    with trace(profile_dir or None):
+        return fn(*args, **kwargs)
 
 
 def config_from_args(preset_name: str, args) -> config_lib.ExperimentConfig:
@@ -310,7 +321,8 @@ def run_entry(preset_name: str, argv=None) -> dict:
                     "resumed training state from %s (epoch %d)"
                     % (resume_from, epoch)
                 )
-        out = train_loop(
+        out = _traced(
+            args.profile, train_loop,
             cfg, bundle, train_ds, val_dataset=val_ds, test_dataset=test_ds,
             verbose=verbose, params=params, opt_state=opt_state,
             start_epoch=start_epoch,
@@ -335,13 +347,15 @@ def run_entry(preset_name: str, argv=None) -> dict:
             eval_kw["mesh"] = mesh
         if verbose:
             print("testing on validation set")
-        results["val"] = eval_fn(
+        results["val"] = _traced(
+            args.profile, eval_fn,
             val_ds, bundle, params, cfg, mode="val", verbose=verbose,
             **eval_kw
         )
         if verbose:
             print("testing on test set")
-        results["test"] = eval_fn(
+        results["test"] = _traced(
+            args.profile, eval_fn,
             test_ds, bundle, params, cfg, mode="test", verbose=verbose,
             **eval_kw
         )

@@ -122,3 +122,26 @@ def test_atomic_np_save(tmp_path):
     # no temp droppings
     import os
     assert os.listdir(tmp_path) == ["row.npy"]
+
+
+def test_profile_flag_captures_trace(synth_root, tmp_path):
+    """--profile wraps the work in a jax profiler trace (SURVEY §5.1: the
+    reference had no profiler at all)."""
+    import os
+
+    from lirec_tpu.cli.common import run_entry
+
+    prof = str(tmp_path / "trace")
+    run_entry(
+        "int_rel_ch",
+        ["--data-root", synth_root, "--store-root", str(tmp_path / "s"),
+         "--train", "--epochs", "1", "--batch-size", "8", "--quiet",
+         "--profile", prof,
+         "--text-dim", "16", "--visual-dim", "32", "--text-layers", "4",
+         "--joint-dim", "16", "--compute-dtype", "float32"],
+    )
+    found = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(prof) for f in fs
+    ]
+    assert found, "no profiler trace files written under --profile dir"
