@@ -140,11 +140,17 @@ def _pooled_ctx_from_h1(
         y = jnp.dot(ph, kernel, preferred_element_type=jnp.float32)
         return y + prm["bias"].astype(y.dtype) * bias_scale.astype(y.dtype)
 
-    clip = h1.clip[idx[..., 0]]
+    # gather with the pallas scatter-accumulate VJP: a profiled train step
+    # spends 1.3 ms/step in XLA's three table-grad scatters at these
+    # shapes (BENCH.md r3b trace) — the kernel does them in ~0.8 with f32
+    # accumulation; CPU and unsupported shapes fall back to XLA's scatter
+    from lirec_tpu.ops.scatter_accum import gather_h1
+
+    clip, g_tr1, g_tr2 = gather_h1(h1.clip, h1.tr1, h1.tr2, idx)
     txt = second("txt2_%s" % prefix, pooled(clip[..., :joint]))
     vis = second("vis2_%s" % prefix, pooled(clip[..., joint:]))
-    tr1 = second("tracks12_%s" % prefix, pooled(h1.tr1[idx[..., 1]]))
-    tr2 = second("tracks22_%s" % prefix, pooled(h1.tr2[idx[..., 2]]))
+    tr1 = second("tracks12_%s" % prefix, pooled(g_tr1))
+    tr2 = second("tracks22_%s" % prefix, pooled(g_tr2))
     return jnp.concatenate([txt, vis, tr1, tr2], axis=-1)
 
 

@@ -120,6 +120,16 @@ def _pallas_call(idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr,
                          memory_space=pltpu.VMEM),
         ],
     )
+    kwargs = {}
+    if not interpret:
+        # the VMEM-resident f32 accumulators exceed the compiler's default
+        # 16 MB scoped-vmem cap at real dims (24 MB for the three tables);
+        # raise the cap — v5e has 128 MiB physical (the _supported gate
+        # bounds the accumulators at 72 MB)
+        vmem = (n_clip * d_c + 2 * n_tr * d_t) * 4 + 3 * tile_m * d_c * 4
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem * 2, 112 * 1024 * 1024)
+        )
     return pl.pallas_call(
         _make_kernel(tile_m, d_c, d_t),
         grid_spec=grid_spec,
@@ -129,6 +139,7 @@ def _pallas_call(idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr,
             jax.ShapeDtypeStruct((n_tr, d_t), jnp.float32),
         ],
         interpret=interpret,
+        **kwargs,
     )(flat_idx.reshape(-1), gc, g1, g2)
 
 

@@ -76,6 +76,39 @@ def main() -> int:
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6,
                                err_msg="gather_masked_sum on-chip mismatch")
     print("gather_masked_sum ok at real dims: out %s" % (a.shape,))
+
+    # scatter-accumulate (the train backward's table-grad kernel) at the
+    # real update shapes, bf16 updates with duplicate rows
+    from lirec_tpu.ops.scatter_accum import (
+        scatter_accum3, scatter_accum3_reference,
+    )
+
+    idx3 = jnp.asarray(
+        rng.integers(
+            0, [n_clips, n_tracks, n_tracks], size=(M * R, 3)
+        ).astype(np.int32)
+    )
+    gc = jnp.asarray(
+        rng.standard_normal((M * R, 2 * joint)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    g1 = jnp.asarray(
+        rng.standard_normal((M * R, joint)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    g2 = jnp.asarray(
+        rng.standard_normal((M * R, joint)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    ker = scatter_accum3(idx3, gc, g1, g2, n_clips, n_tracks, force="pallas")
+    ref3 = scatter_accum3_reference(idx3, gc, g1, g2, n_clips, n_tracks)
+    for got, want, name in zip(ker, ref3, ("clip", "tr1", "tr2")):
+        got, want = np.asarray(got), np.asarray(want)
+        # the kernel accumulates f32 where XLA accumulates bf16 — compare
+        # with a tolerance matching bf16 accumulation error at ~11-way
+        # collisions
+        np.testing.assert_allclose(
+            got, want, rtol=2e-2, atol=2e-1,
+            err_msg="scatter_accum3 %s on-chip mismatch" % name,
+        )
+    print("scatter_accum3 ok at real dims (f32 accum vs bf16 reference)")
     return 0
 
 
