@@ -80,12 +80,18 @@ def apply_model(
             return hybrid.modalities_hybrid(
                 params, spec, tables, feat_idx, deterministic, rng
             )
+        # the pallas table-grad scatter VJP has no GSPMD partitioning rule:
+        # under a mesh the backward keeps XLA's scatter (which GSPMD knows
+        # how to partition+combine); single-device training gets the kernel
+        scatter_kernel = data_mesh is None
         if spec.tr_maximize:
             return hybrid.midfusion_maxtracks_hybrid(
-                params, spec, tables, feat_idx, rels_mask, deterministic, rng
+                params, spec, tables, feat_idx, rels_mask, deterministic,
+                rng, scatter_kernel=scatter_kernel,
             )
         return hybrid.midfusion_hybrid(
-            params, spec, tables, feat_idx, rels_mask, deterministic, rng
+            params, spec, tables, feat_idx, rels_mask, deterministic, rng,
+            scatter_kernel=scatter_kernel,
         )
 
     s = slices_from_dense(jnp.asarray(batch["features"]), spec)

@@ -99,7 +99,7 @@ def _embed_from_h1(
 def _pooled_ctx_from_h1(
     params: Dict, prefix: str, h1: H1Tables, idx: jnp.ndarray,
     mask: jnp.ndarray, spec, rng: DropoutRng, deterministic: bool,
-    guard_zero_divide: bool,
+    guard_zero_divide: bool, scatter_kernel: bool = True,
 ) -> jnp.ndarray:
     """ctx branch with the second layers applied AFTER the masked mean.
 
@@ -143,10 +143,17 @@ def _pooled_ctx_from_h1(
     # gather with the pallas scatter-accumulate VJP: a profiled train step
     # spends 1.3 ms/step in XLA's three table-grad scatters at these
     # shapes (BENCH.md r3b trace) — the kernel does them in ~0.8 with f32
-    # accumulation; CPU and unsupported shapes fall back to XLA's scatter
-    from lirec_tpu.ops.scatter_accum import gather_h1
+    # accumulation. CPU and unsupported shapes fall back to XLA's scatter,
+    # and meshed (GSPMD) training passes scatter_kernel=False — the kernel
+    # has no partitioning rule (models/factory.apply_model).
+    if scatter_kernel:
+        from lirec_tpu.ops.scatter_accum import gather_h1
 
-    clip, g_tr1, g_tr2 = gather_h1(h1.clip, h1.tr1, h1.tr2, idx)
+        clip, g_tr1, g_tr2 = gather_h1(h1.clip, h1.tr1, h1.tr2, idx)
+    else:
+        clip = h1.clip[idx[..., 0]]
+        g_tr1 = h1.tr1[idx[..., 1]]
+        g_tr2 = h1.tr2[idx[..., 2]]
     txt = second("txt2_%s" % prefix, pooled(clip[..., :joint]))
     vis = second("vis2_%s" % prefix, pooled(clip[..., joint:]))
     tr1 = second("tracks12_%s" % prefix, pooled(g_tr1))
@@ -162,6 +169,7 @@ def midfusion_maxtracks_hybrid(
     rels_mask: Optional[jnp.ndarray] = None,
     deterministic: bool = False,
     rng: Optional[jax.Array] = None,
+    scatter_kernel: bool = True,
 ) -> Dict[str, Optional[jnp.ndarray]]:
     """MidFusionMultiClipMaxTracks over packed batches, hybrid layering.
 
@@ -188,6 +196,7 @@ def midfusion_maxtracks_hybrid(
         pooled = _pooled_ctx_from_h1(
             params, "ctx", h1c, flat_idx, rels_mask.reshape(B * T, R),
             spec, drop, deterministic, guard_zero_divide=True,
+            scatter_kernel=scatter_kernel,
         )
         output_ctx = dropout(
             jnp.tanh(pooled), spec.dropout, drop, deterministic
@@ -217,6 +226,7 @@ def midfusion_hybrid(
     rels_mask: Optional[jnp.ndarray] = None,
     deterministic: bool = False,
     rng: Optional[jax.Array] = None,
+    scatter_kernel: bool = True,
 ) -> Dict[str, Optional[jnp.ndarray]]:
     """MidFusionMultiClip over packed batches, hybrid layering.
 
@@ -241,6 +251,7 @@ def midfusion_hybrid(
             params, "ctx", h1c, feat_idx[:, 1:, :], rels_mask.reshape(B, R),
             spec, drop, deterministic,
             guard_zero_divide=False,  # no zero guard (ref model.py:174-181)
+            scatter_kernel=scatter_kernel,
         )
         output_ctx = dropout(
             jnp.tanh(pooled), spec.dropout, drop, deterministic

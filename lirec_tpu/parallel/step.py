@@ -40,7 +40,7 @@ class ShardedTrainState:
         )
         # init under jit so Adam moments inherit the param shardings
         self.opt_state = jax.jit(tx.init)(self.params)
-        self._step = _build_step(bundle, tx)
+        self._step = _build_step(bundle, tx, mesh)
 
     def step(self, batch: Dict, rng, tr_sum_max_flag: bool = True):
         if not all(
@@ -59,7 +59,7 @@ class ShardedTrainState:
         return loss
 
 
-def _build_step(bundle, tx):
+def _build_step(bundle, tx, mesh=None):
     # opt_state donated: ShardedTrainState rebinds it every step and nothing
     # else holds the moments (see train/loop.make_train_step note)
     @functools.partial(
@@ -72,7 +72,7 @@ def _build_step(bundle, tx):
         def loss_fn(p):
             outputs = bundle.apply(
                 p, model_batch, tables=tables,
-                deterministic=False, rng=rng_drop,
+                deterministic=False, rng=rng_drop, data_mesh=mesh,
             )
             return bundle.loss(
                 outputs, batch, rng=rng_loss,

@@ -31,9 +31,11 @@ __all__ = ["train", "make_train_step", "make_epoch_sweep"]
 MODEL_KEYS = ("features", "feat_idx", "rels_mask")
 
 
-def make_train_step(bundle, tx):
+def make_train_step(bundle, tx, mesh=None):
     """Build the jitted (params, opt_state, batch, tables, rng) -> update
-    step. `tables` ride through jit as regular (shardable) arguments."""
+    step. `tables` ride through jit as regular (shardable) arguments.
+    `mesh` only informs kernel dispatch (the pallas scatter VJP has no
+    GSPMD rule; meshed steps keep XLA's scatter)."""
 
     # NOTE: params are deliberately NOT donated — callers hold on to
     # initial params (parity tests, BestNSaver snapshots, re-evaluation),
@@ -51,7 +53,7 @@ def make_train_step(bundle, tx):
         def loss_fn(p):
             outputs = bundle.apply(
                 p, model_batch, tables=tables,
-                deterministic=False, rng=rng_drop,
+                deterministic=False, rng=rng_drop, data_mesh=mesh,
             )
             return bundle.loss(
                 outputs, batch, rng=rng_loss,
@@ -66,7 +68,7 @@ def make_train_step(bundle, tx):
     return step
 
 
-def make_epoch_sweep(bundle, tx):
+def make_epoch_sweep(bundle, tx, mesh=None):
     """Build the jitted whole-epoch sweep: ONE dispatch runs every step of
     the epoch in a `lax.fori_loop` over pre-staged stacked batches
     ([S, B, ...] arrays), with params/opt_state in the carry and the
@@ -95,7 +97,7 @@ def make_epoch_sweep(bundle, tx):
             def loss_fn(p):
                 outputs = bundle.apply(
                     p, model_batch, tables=tables,
-                    deterministic=False, rng=rng_drop,
+                    deterministic=False, rng=rng_drop, data_mesh=mesh,
                 )
                 return bundle.loss(
                     outputs, batch, rng=rng_loss,
@@ -245,13 +247,13 @@ def train(
 
         return host_copy(tree)
 
-    step = make_train_step(bundle, tx)
+    step = make_train_step(bundle, tx, mesh=mesh)
     if epoch_sweep is None:
         epoch_sweep = not dense
     use_sweep = (
         epoch_sweep and not dense and (not multiprocess or mesh is not None)
     )
-    sweep = make_epoch_sweep(bundle, tx) if use_sweep else None
+    sweep = make_epoch_sweep(bundle, tx, mesh=mesh) if use_sweep else None
 
     def commit_stacked(stacked):
         if mesh is None:
