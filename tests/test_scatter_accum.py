@@ -69,3 +69,20 @@ def test_scatter_accum3_shape_gate():
     g = jnp.zeros((7, 128), jnp.float32)
     with pytest.raises(ValueError, match="scatter_accum3"):
         sa.scatter_accum3(bad_idx, g, g, g, 16, 16, force="pallas")
+
+
+def test_scatter_accum3_3d_interpret_matches_xla(data):
+    """The native-3D update path (what the train VJP actually passes:
+    idx [N, R, 3], updates [N, R, D])."""
+    idx3, gc, g1, g2, NC, NT = data
+    N, R = 16, 4
+    idx3 = idx3[: N * R].reshape(N, R, 3)
+    gc = gc[: N * R].reshape(N, R, -1)
+    g1 = g1[: N * R].reshape(N, R, -1)
+    g2 = g2[: N * R].reshape(N, R, -1)
+    ref = sa.scatter_accum3_reference(idx3, gc, g1, g2, NC, NT)
+    ker = sa.scatter_accum3(idx3, gc, g1, g2, NC, NT, force="interpret")
+    for a, b in zip(ref, ker):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+        )

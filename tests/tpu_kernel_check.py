@@ -83,19 +83,20 @@ def main() -> int:
         scatter_accum3, scatter_accum3_reference,
     )
 
+    # the 3D layout the train VJP actually passes ([N, R, 3] / [N, R, D])
     idx3 = jnp.asarray(
         rng.integers(
-            0, [n_clips, n_tracks, n_tracks], size=(M * R, 3)
+            0, [n_clips, n_tracks, n_tracks], size=(M, R, 3)
         ).astype(np.int32)
     )
     gc = jnp.asarray(
-        rng.standard_normal((M * R, 2 * joint)).astype(np.float32)
+        rng.standard_normal((M, R, 2 * joint)).astype(np.float32)
     ).astype(jnp.bfloat16)
     g1 = jnp.asarray(
-        rng.standard_normal((M * R, joint)).astype(np.float32)
+        rng.standard_normal((M, R, joint)).astype(np.float32)
     ).astype(jnp.bfloat16)
     g2 = jnp.asarray(
-        rng.standard_normal((M * R, joint)).astype(np.float32)
+        rng.standard_normal((M, R, joint)).astype(np.float32)
     ).astype(jnp.bfloat16)
     ker = scatter_accum3(idx3, gc, g1, g2, n_clips, n_tracks, force="pallas")
     ref3 = scatter_accum3_reference(idx3, gc, g1, g2, n_clips, n_tracks)
