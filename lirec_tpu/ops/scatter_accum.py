@@ -237,6 +237,68 @@ def _pallas_call(idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr,
     )(flat_idx.reshape(-1), gc, g1, g2)
 
 
+def _make_kernel1(tile_n: int, r: int, d: int):
+    """Single-table variant of `_make_kernel3` for tiered dispatch: at
+    full-data scale the track accumulators can exceed VMEM while the clip
+    table still fits — each table gets the kernel iff ITS accumulator
+    fits, the rest keep XLA's scatter."""
+
+    def _kernel(idx_ref, g_ref, acc_ref):
+        from jax.experimental import pallas as pl
+
+        tile = pl.program_id(0)
+
+        @pl.when(tile == 0)
+        def _zero():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        for j in range(tile_n):
+            for rr in range(r):
+                row = idx_ref[(tile * tile_n + j) * r + rr]
+                acc_ref[pl.ds(row, 1), :] += (
+                    g_ref[j, rr, :][None].astype(jnp.float32)
+                )
+
+    return _kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_rows", "interpret", "tile_n")
+)
+def _pallas_call1(idx, g, n_rows, interpret=False, tile_n=8):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, r, d = g.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // tile_n,),
+        in_specs=[
+            pl.BlockSpec((tile_n, r, d), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_rows, d), lambda i, *_: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    kwargs = {}
+    if not interpret:
+        vmem = n_rows * d * 4 + tile_n * r * d * 4
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem * 2, 112 * 1024 * 1024)
+        )
+    return pl.pallas_call(
+        _make_kernel1(tile_n, r, d),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rows, d), jnp.float32),
+        interpret=interpret,
+        **kwargs,
+    )(idx.reshape(-1), g)
+
+
+def _table_fits(n_rows: int, d: int) -> bool:
+    return d % 128 == 0 and n_rows * d * 4 < 48 * 1024 * 1024
+
+
 def _supported(idx3, d_clip, d_tr, n_clip, n_tr) -> bool:
     m = 1
     for s in idx3.shape[:-1]:
@@ -294,6 +356,54 @@ def scatter_accum3(idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr, force="auto"):
     return scatter_accum3_reference(idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr)
 
 
+def _dispatch_scatter(idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr, force):
+    """Tiered kernel dispatch for the gather_h1 backward.
+
+    All three accumulators in one kernel when they fit VMEM together;
+    otherwise each table gets its own single-table kernel iff ITS
+    accumulator fits (at full-data scale the track tables can outgrow
+    VMEM while the clip table — the widest, most expensive scatter —
+    still fits); anything left keeps XLA's scatter."""
+    if force == "reference":
+        return scatter_accum3_reference(
+            idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr
+        )
+    m = 1
+    for s in idx3.shape[:-1]:
+        m *= s
+    on_tpu = jax.default_backend() == "tpu"
+    kernel_on = force in ("pallas", "interpret") or (force == "auto" and on_tpu)
+    tiered_ok = (
+        kernel_on
+        and idx3.ndim == 3
+        and idx3.shape[0] % 8 == 0
+        and m * 4 < 900 * 1024  # per-table idx column in SMEM
+    )
+    d_c, d_t = g_clip.shape[-1], g_tr1.shape[-1]
+    if not tiered_ok or _supported(idx3, d_c, d_t, n_clip, n_tr):
+        # whole-kernel path (or plain fallback) — scatter_accum3 gates it
+        return scatter_accum3(
+            idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr, force=force
+        )
+    interp = force == "interpret"
+    outs = []
+    for g, n_rows, col in (
+        (g_clip, n_clip, 0), (g_tr1, n_tr, 1), (g_tr2, n_tr, 2)
+    ):
+        d = g.shape[-1]
+        if _table_fits(n_rows, d):
+            outs.append(
+                _pallas_call1(idx3[..., col], g, n_rows, interpret=interp)
+            )
+        else:
+            outs.append(
+                jnp.zeros((n_rows, d), jnp.float32)
+                .at[idx3[..., col].reshape(-1)]
+                .add(g.reshape(-1, d).astype(jnp.float32))
+            )
+    return tuple(outs)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_gather_h1(n_clip, n_tr, dt_c, dt_1, dt_2):
     dt_c, dt_1, dt_2 = jnp.dtype(dt_c), jnp.dtype(dt_1), jnp.dtype(dt_2)
@@ -307,8 +417,8 @@ def _make_gather_h1(n_clip, n_tr, dt_c, dt_1, dt_2):
 
     def bwd(idx3, cotangents):
         g_clip, g_tr1, g_tr2 = cotangents
-        acc_c, acc_1, acc_2 = scatter_accum3(
-            idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr, force=_FORCE
+        acc_c, acc_1, acc_2 = _dispatch_scatter(
+            idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr, _FORCE
         )
         return (
             acc_c.astype(dt_c), acc_1.astype(dt_1), acc_2.astype(dt_2), None

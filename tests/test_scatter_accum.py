@@ -86,3 +86,30 @@ def test_scatter_accum3_3d_interpret_matches_xla(data):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
         )
+
+
+def test_tiered_dispatch_matches_reference(monkeypatch, data):
+    """When the 3-table kernel doesn't fit, each table independently gets
+    the single-table kernel or XLA's scatter — results identical."""
+    idx3, gc, g1, g2, NC, NT = data
+    N, R = 16, 4
+    idx3 = idx3[: N * R].reshape(N, R, 3)
+    gc = gc[: N * R].reshape(N, R, -1)
+    g1 = g1[: N * R].reshape(N, R, -1)
+    g2 = g2[: N * R].reshape(N, R, -1)
+    ref = sa.scatter_accum3_reference(idx3, gc, g1, g2, NC, NT)
+
+    monkeypatch.setattr(sa, "_supported", lambda *a: False)
+    all_kernel = sa._dispatch_scatter(idx3, gc, g1, g2, NC, NT, "interpret")
+    for a, b in zip(ref, all_kernel):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+        )
+
+    # clip fits, tracks "too big" -> mixed kernel/XLA
+    monkeypatch.setattr(sa, "_table_fits", lambda n_rows, d: d == 256)
+    mixed = sa._dispatch_scatter(idx3, gc, g1, g2, NC, NT, "interpret")
+    for a, b in zip(ref, mixed):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+        )
