@@ -299,10 +299,21 @@ def _table_fits(n_rows: int, d: int) -> bool:
     return d % 128 == 0 and n_rows * d * 4 < 48 * 1024 * 1024
 
 
-def _supported(idx3, d_clip, d_tr, n_clip, n_tr) -> bool:
+def _flat_m(idx3) -> int:
     m = 1
     for s in idx3.shape[:-1]:
         m *= s
+    return m
+
+
+def _kernel_requested(force: str) -> bool:
+    return force in ("pallas", "interpret") or (
+        force == "auto" and jax.default_backend() == "tpu"
+    )
+
+
+def _supported(idx3, d_clip, d_tr, n_clip, n_tr) -> bool:
+    m = _flat_m(idx3)
     acc_bytes = (n_clip * d_clip + 2 * n_tr * d_tr) * 4
     return (
         m % 8 == 0
@@ -311,7 +322,8 @@ def _supported(idx3, d_clip, d_tr, n_clip, n_tr) -> bool:
         # accumulators + a generous margin for streamed update tiles must
         # fit v5e's 128 MiB VMEM
         and acc_bytes < 72 * 1024 * 1024
-        # idx triples live whole in SMEM
+        # the 3-table kernel prefetches idx TRIPLES whole into SMEM
+        # (the tiered single-table path only needs one column: m*4)
         and m * 3 * 4 < 900 * 1024
     )
 
@@ -348,8 +360,7 @@ def scatter_accum3(idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr, force="auto"):
         return _pallas_call(
             idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr, interpret=True
         )
-    on_tpu = jax.default_backend() == "tpu"
-    if force == "pallas" or (force == "auto" and on_tpu and ok):
+    if force == "pallas" or (force == "auto" and _kernel_requested(force) and ok):
         if use_3d:
             return _pallas_call3d(idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr)
         return _pallas_call(idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr)
@@ -368,13 +379,9 @@ def _dispatch_scatter(idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr, force):
         return scatter_accum3_reference(
             idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr
         )
-    m = 1
-    for s in idx3.shape[:-1]:
-        m *= s
-    on_tpu = jax.default_backend() == "tpu"
-    kernel_on = force in ("pallas", "interpret") or (force == "auto" and on_tpu)
+    m = _flat_m(idx3)
     tiered_ok = (
-        kernel_on
+        _kernel_requested(force)
         and idx3.ndim == 3
         and idx3.shape[0] % 8 == 0
         and m * 4 < 900 * 1024  # per-table idx column in SMEM
@@ -394,6 +401,15 @@ def _dispatch_scatter(idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr, force):
         if _table_fits(n_rows, d):
             outs.append(
                 _pallas_call1(idx3[..., col], g, n_rows, interpret=interp)
+            )
+        elif force == "pallas":
+            # an explicit hardware force must never silently take the XLA
+            # path (the r1 VMEM-guard failure class, BENCH.md); interpret
+            # is a test mode and may mix
+            raise ValueError(
+                "scatter_accum single-table kernel cannot fit table "
+                "[%d, %d] in VMEM (and force='pallas' forbids the XLA "
+                "fallback)" % (n_rows, d)
             )
         else:
             outs.append(

@@ -1,7 +1,11 @@
 """scatter_accum3 kernel (interpret mode) == XLA .at[].add; the gather_h1
-custom VJP matches plain-gather gradients. The kernel is a measured
-NEGATIVE result on chip (BENCH.md: XLA's scatter wins at the train shapes)
-— kept as reproducible ablation infrastructure (tools/bench_scatter.py)."""
+custom VJP matches plain-gather gradients. The kernel is DEFAULT-ON in
+the single-device train backward (models/hybrid._pooled_ctx_from_h1):
+a real-step profile showed XLA's in-program scatters at 1.31 ms/step vs
+~0.7 for the kernel (BENCH.md r3c — the earlier isolated microbenchmark
+that said XLA wins mismeasured the in-program cost). Compiled real-dim
+parity runs in the `pytest -m tpu` lane (tests/tpu_kernel_check.py);
+tools/bench_scatter.py reproduces the timing."""
 
 import jax
 import jax.numpy as jnp

@@ -110,6 +110,20 @@ def main() -> int:
             err_msg="scatter_accum3 %s on-chip mismatch" % name,
         )
     print("scatter_accum3 ok at real dims (f32 accum vs bf16 reference)")
+
+    # the tiered single-table kernel (what full-data scale uses when the
+    # track accumulators outgrow VMEM) compiled at the clip-table shape
+    from lirec_tpu.ops.scatter_accum import _pallas_call1
+
+    acc1 = np.asarray(
+        _pallas_call1(idx3[..., 0], gc, n_clips)
+    )
+    want1 = np.asarray(ref3[0])
+    np.testing.assert_allclose(
+        acc1, want1, rtol=2e-2, atol=2e-1,
+        err_msg="single-table scatter kernel on-chip mismatch",
+    )
+    print("single-table scatter kernel ok at real dims")
     return 0
 
 
