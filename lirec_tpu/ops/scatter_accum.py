@@ -86,14 +86,21 @@ def _pick_tile(m: int) -> int:
     return 1
 
 
-def _make_kernel3(tile_n: int, r: int, d_clip: int, d_tr: int):
+def _make_kernel3(tile_n: int, r: int, d_clip: int, d_tr: int,
+                  split: bool = False, n_tiles: int = 0):
     """[N, R, D] update blocks — same accumulation as `_make_kernel`, but
     consuming the cotangents in their native 3D layout: the [N*R, D]
     flatten is NOT a bitcast under TPU tiled layouts (R=18 pads to 24
     sublanes), so the 2D path paid three physical reshape copies
-    (~0.2 ms/step in the r3c profile)."""
+    (~0.2 ms/step in the r3c profile).
 
-    def _kernel(idx_ref, gc_ref, g1_ref, g2_ref, ac_ref, a1_ref, a2_ref):
+    ``split``: double accumulators (even update rows into the output refs,
+    odd rows into VMEM scratch, merged at the final grid step) — halves
+    the per-table read-modify-write dependency chains that serialize the
+    row loop."""
+
+    def _kernel(idx_ref, gc_ref, g1_ref, g2_ref, ac_ref, a1_ref, a2_ref,
+                *scratch):
         from jax.experimental import pallas as pl
 
         tile = pl.program_id(0)
@@ -103,31 +110,48 @@ def _make_kernel3(tile_n: int, r: int, d_clip: int, d_tr: int):
             ac_ref[...] = jnp.zeros_like(ac_ref)
             a1_ref[...] = jnp.zeros_like(a1_ref)
             a2_ref[...] = jnp.zeros_like(a2_ref)
+            if split:
+                for s in scratch:
+                    s[...] = jnp.zeros_like(s)
 
         for j in range(tile_n):
             for rr in range(r):
+                u = j * r + rr
                 base = ((tile * tile_n + j) * r + rr) * 3
                 rc = idx_ref[base]
                 r1 = idx_ref[base + 1]
                 r2 = idx_ref[base + 2]
-                ac_ref[pl.ds(rc, 1), :] += (
+                if split and u % 2:
+                    tc, t1, t2 = scratch
+                else:
+                    tc, t1, t2 = ac_ref, a1_ref, a2_ref
+                tc[pl.ds(rc, 1), :] += (
                     gc_ref[j, rr, :][None].astype(jnp.float32)
                 )
-                a1_ref[pl.ds(r1, 1), :] += (
+                t1[pl.ds(r1, 1), :] += (
                     g1_ref[j, rr, :][None].astype(jnp.float32)
                 )
-                a2_ref[pl.ds(r2, 1), :] += (
+                t2[pl.ds(r2, 1), :] += (
                     g2_ref[j, rr, :][None].astype(jnp.float32)
                 )
+
+        if split:
+
+            @pl.when(tile == n_tiles - 1)
+            def _merge():
+                ac_ref[...] += scratch[0][...]
+                a1_ref[...] += scratch[1][...]
+                a2_ref[...] += scratch[2][...]
 
     return _kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_clip", "n_tr", "interpret", "tile_n")
+    jax.jit,
+    static_argnames=("n_clip", "n_tr", "interpret", "tile_n", "split"),
 )
 def _pallas_call3d(idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr,
-                   interpret=False, tile_n=None):
+                   interpret=False, tile_n=None, split=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -141,6 +165,15 @@ def _pallas_call3d(idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr,
         jax.ShapeDtypeStruct((n_tr, d_t), jnp.float32),
         jax.ShapeDtypeStruct((n_tr, d_t), jnp.float32),
     ]
+    acc_bytes = (n_clip * d_c + 2 * n_tr * d_t) * 4
+    tile_bytes = tile_n * r * (d_c + 2 * d_t) * 4
+    if split is None:
+        # measured NEGATIVE: the 2-way accumulator split (even/odd update
+        # rows into separate buffers, merged at the last grid step) was
+        # 1.62 vs 1.52 ms/iter no-split at the real shapes — the RMW
+        # dependency chains are not the bottleneck; the toggle stays for
+        # reproducing the ablation
+        split = False
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n // tile_n,),
@@ -160,18 +193,25 @@ def _pallas_call3d(idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr,
             pl.BlockSpec((n_tr, d_t), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((n_clip, d_c), jnp.float32),
+                pltpu.VMEM((n_tr, d_t), jnp.float32),
+                pltpu.VMEM((n_tr, d_t), jnp.float32),
+            ]
+            if split
+            else []
+        ),
     )
     kwargs = {}
     if not interpret:
-        vmem = (
-            (n_clip * d_c + 2 * n_tr * d_t) * 4
-            + tile_n * r * (d_c + 2 * d_t) * 4
-        )
+        vmem = (2 if split else 1) * acc_bytes + 4 * tile_bytes
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=min(vmem * 2, 112 * 1024 * 1024)
+            vmem_limit_bytes=min(vmem + 8 * 1024 * 1024, 112 * 1024 * 1024)
         )
     return pl.pallas_call(
-        _make_kernel3(tile_n, r, d_c, d_t),
+        _make_kernel3(tile_n, r, d_c, d_t, split=split,
+                      n_tiles=n // tile_n),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
