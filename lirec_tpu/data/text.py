@@ -251,22 +251,54 @@ class TextFeatureReader:
     def free(self) -> None:
         self.features = None
 
-    def get_features_by_time(self, time_node: Optional[dict] = None) -> np.ndarray:
+    def get_features_by_time(
+        self, time_node: Optional[dict] = None, with_dialog: bool = False
+    ):
         """Token features for utterances overlapping the window; zero vector
-        when none do (ref text_features.py:140-178)."""
+        when none do (ref text_features.py:140-178).
+
+        ``with_dialog=True`` additionally returns the window's dialog lines
+        joined with ``</br>`` — the reference's ``html=`` debug mode
+        (ref text_features.py:140-178), which is BROKEN there: its
+        found-tokens path (ref :166-167) returns a bare array that the
+        html caller tuple-unpacks (ref text_utils/classification_dataloader
+        .py:60), so the common case crashes or silently destructures rows.
+        Here every path returns the (features, dialog) pair.
+        """
         features = self._load()
-        if time_node is None:
-            return features
-        if "start" not in time_node or "end" not in time_node:
+
+        def dialog_of(idxs):
+            lines = []
+            for i in idxs:
+                if i < len(self.dialogs) and self.dialogs[i]:
+                    block = self.dialogs[i]
+                    lines.append(
+                        block[0] if isinstance(block, (list, tuple)) else block
+                    )
+            return "</br>".join(str(x) for x in lines)
+
+        if (
+            time_node is None
+            or "start" not in time_node
+            or "end" not in time_node
+        ):
+            if with_dialog:
+                return features, dialog_of(range(len(self.times)))
             return features
         tokens_range: List[int] = []
+        dialog_idxs: List[int] = []
         for time_idx, span in enumerate(self.times):
             if time_idx >= len(self.time_idx2token_range):
                 break
             if span.overlaps(time_node["start"], time_node["end"]):
                 tokens_range += self.time_idx2token_range[time_idx]
+                dialog_idxs.append(time_idx)
         if tokens_range:
+            if with_dialog:
+                return features[tokens_range], dialog_of(dialog_idxs)
             return features[tokens_range]
+        if with_dialog:
+            return self._zero_row(), ""
         return self._zero_row()
 
     def get_features_by_track(self, track: List[dict]) -> np.ndarray:

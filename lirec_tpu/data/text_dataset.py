@@ -49,13 +49,35 @@ def preset_text_only(
 
 
 class TextOnlyDataset:
-    def __init__(self, cfg, mode: str = "train"):
+    """Text-only ablation dataset (ref text_utils/classification_dataloader).
+
+    ``html=True`` mirrors the reference's debug mode: samples carry a
+    ``meta`` dict (window dialog + ``<movie>_<scene>`` fname) and
+    ``idx2inter`` maps local label ids back to interaction names
+    (ref :18-25,59-70). The reference's html mode is broken end to end
+    (its TextFeatures html return skips the found-tokens path, ref
+    text_features.py:166-167); here it works on every path. Debug mode is
+    for direct sample indexing — the string meta doesn't collate into
+    batches.
+    """
+
+    def __init__(self, cfg, mode: str = "train", html: bool = False):
         self.cfg = cfg
         self.mode = mode
+        self.html = html
         t = cfg.tasks
-        interactions_vocab, self.inter2idx = vocab_lib.load_interaction_names(
-            cfg.paths.labeled_interactions
-        )
+        if html:
+            interactions_vocab, self.inter2idx, self.idx2inter = (
+                vocab_lib.load_interaction_names(
+                    cfg.paths.labeled_interactions, idx2inter_ret=True
+                )
+            )
+        else:
+            interactions_vocab, self.inter2idx = (
+                vocab_lib.load_interaction_names(
+                    cfg.paths.labeled_interactions
+                )
+            )
         self.n_classes = len(interactions_vocab[t.inter_class])
         self.n_rels = 0
         self.rels_list: list = []
@@ -99,9 +121,22 @@ class TextOnlyDataset:
         raise ValueError("unknown pool_features %r" % mode)
 
     def cache(self) -> None:
+        self._meta: Dict[int, Dict[str, str]] = {}
         for inter in self.interactions:
             key = (inter.video_descr["movie"], inter.video_descr["scene"][0])
-            tokens = self.readers[key].get_features_by_time(inter.time_node)
+            if self.html:
+                tokens, dialog = self.readers[key].get_features_by_time(
+                    inter.time_node, with_dialog=True
+                )
+                # ref text_utils/classification_dataloader.py:66-68
+                self._meta[inter.id] = {
+                    "dialog": dialog,
+                    "fname": "%s_%s" % (key[0], key[1]),
+                }
+            else:
+                tokens = self.readers[key].get_features_by_time(
+                    inter.time_node
+                )
             self.tables.add_clip_row(inter.id, self._pool(tokens))
         for reader in self.readers.values():
             reader.free()
@@ -119,13 +154,16 @@ class TextOnlyDataset:
         inter = self.interactions[idx]
         # local per-class label (ref text classification_dataloader.py:64)
         label = self.inter2idx[inter.inter_node["name"]][2]
-        return {
+        out = {
             "feat_idx": np.array(
                 [[self.tables.clip_row(inter.id), 0, 0]], np.int32
             ),
             "labels": label,
             "multilab_weights": np.ones(self.n_classes, np.float32),
         }
+        if self.html:
+            out["meta"] = self._meta[inter.id]  # ref :66-70
+        return out
 
     def to_dense(self, sample: Dict) -> Dict:
         out = dict(sample)

@@ -33,9 +33,14 @@ INTER_CLASS2IDX = {"t": 0, "v": 1, "m": 2}
 
 def load_interaction_names(
     path: str,
-) -> Tuple[Dict[str, List[str]], Dict[str, Tuple[int, int, int]]]:
+    idx2inter_ret: bool = False,
+):
     """Return (per-class interaction lists incl. 'all', name -> (global_idx,
-    class_idx, local_idx)). Ref utils/util_functions.py:333-357."""
+    class_idx, local_idx)). Ref utils/util_functions.py:333-357.
+
+    ``idx2inter_ret=True`` additionally returns the reverse map
+    ``(class_letter, local_idx) -> name`` (ref :345-356; used by the text
+    dataset's html debug mode)."""
     interactions: Dict[str, List[str]] = defaultdict(list)
     with open(path, "r") as f:
         for line in f:
@@ -47,13 +52,17 @@ def load_interaction_names(
             interactions[cls].append(name)
             interactions["all"].append(name)
     inter2idx: Dict[str, Tuple[int, int, int]] = {}
+    idx2inter: Dict[Tuple[str, int], str] = {}
     global_idx = 0
     for cls, names in interactions.items():
         if cls == "all":
             continue
         for local_idx, name in enumerate(names):
             inter2idx[name] = (global_idx, INTER_CLASS2IDX[cls], local_idx)
+            idx2inter[(cls, local_idx)] = name
             global_idx += 1
+    if idx2inter_ret:
+        return dict(interactions), inter2idx, idx2inter
     return dict(interactions), inter2idx
 
 

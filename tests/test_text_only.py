@@ -48,3 +48,29 @@ def test_text_only_cli_train(synth_root, tmp_path):
          "--quiet"]
     )
     assert len(out["train"]["losses"]) == 2
+
+
+def test_html_debug_mode(synth_root):
+    """html=True: samples carry dialog/fname meta + idx2inter reverse map
+    (ref text_utils/classification_dataloader.py:18-25,59-70; the
+    reference's own html path is broken — see data/text.py docstring)."""
+    from lirec_tpu.data.text_dataset import TextOnlyDataset, preset_text_only
+
+    cfg = preset_text_only(data_root=synth_root)
+    from lirec_tpu.data import synthetic
+
+    base = synthetic.make_config(synth_root)
+    cfg = cfg.replace(dims=base.dims, paths=base.paths)
+    ds = TextOnlyDataset(cfg, mode="val", html=True)
+    ds.cache()
+    assert ds.idx2inter  # reverse label map (ref :21)
+    sample = ds[0]
+    meta = sample["meta"]
+    assert set(meta) == {"dialog", "fname"}
+    assert "_" in meta["fname"]
+    # the reverse map round-trips the sample's local label
+    inter = ds.interactions[0]
+    cls_letter = "tvm"[ds.inter2idx[inter.inter_node["name"]][1]]
+    assert ds.idx2inter[(cls_letter, sample["labels"])] == (
+        inter.inter_node["name"]
+    )
