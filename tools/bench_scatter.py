@@ -1,3 +1,10 @@
+"""ISOLATED scatter3(+regather) timing: XLA vs the 2D pallas kernel.
+
+CAUTION when reading the output: in this isolated chain XLA wins (~0.73
+vs ~1.1 ms/iter), but inside the REAL train step XLA's scatters run 2.5x
+slower than here (1.31 ms/step, profiled) and the kernel wins — which is
+why it is default-on (BENCH.md r3c, models/hybrid.py). This script exists
+to reproduce exactly that isolated-vs-in-program contrast."""
 import functools, sys, time
 sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp, numpy as np
