@@ -209,6 +209,20 @@ def _enable_compilation_cache() -> None:
 
 
 def run_entry(preset_name: str, argv=None) -> dict:
+    import multiprocessing as _mp
+
+    if _mp.parent_process() is not None:
+        # an UNGUARDED launching script re-imported by a spawned worker
+        # (e.g. --assembly-workers): without this guard the child would
+        # re-run training and could connect to (and corrupt) the parent's
+        # distributed cluster. Failing here kills the worker at bootstrap,
+        # which the AssemblyPool probe converts into a clean warning +
+        # in-process fallback. The packaged CLIs are main-guarded already.
+        raise RuntimeError(
+            "run_entry re-executed inside a multiprocessing child: guard "
+            "the launching script with `if __name__ == '__main__':` "
+            "(spawned workers re-import __main__)"
+        )
     args = build_parser(preset_name).parse_args(argv)
     cfg = config_from_args(preset_name, args)
     verbose = not args.quiet

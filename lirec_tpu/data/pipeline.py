@@ -28,6 +28,10 @@ def _pool_probe(_):
     return _POOL_DATASET is not None
 
 
+def _probe_target():
+    return None
+
+
 def _pool_assemble_batch(args):
     return _assemble_batch_with(_POOL_DATASET, args)
 
@@ -73,14 +77,27 @@ class AssemblyPool:
         }
         os.environ["JAX_PLATFORMS"] = "cpu"
         try:
+            # spawn re-imports __main__: with a non-importable parent
+            # (stdin scripts, notebooks, unguarded scripts) children die
+            # at bootstrap — and a Pool would RESPAWN them forever, then
+            # deadlock in terminate(). Probe with a single bare Process
+            # FIRST: a dead bootstrap exits nonzero with no respawn
+            # machinery, and the caller falls back to inline assembly.
+            probe = ctx.Process(target=_probe_target, daemon=True)
+            probe.start()
+            probe.join(probe_timeout)
+            if probe.is_alive():
+                probe.kill()
+                probe.join(5)
+                raise RuntimeError("spawn probe timed out")
+            if probe.exitcode != 0:
+                raise RuntimeError(
+                    "worker bootstrap failed (exit %s) — is the launching "
+                    "script importable and main-guarded?" % probe.exitcode
+                )
             self._pool = ctx.Pool(
                 workers, initializer=_pool_init, initargs=(dataset,)
             )
-            # spawn re-imports __main__: for a non-importable parent (stdin
-            # scripts, notebooks) workers die at bootstrap and the pool
-            # RESPAWNS them forever — a silent hang at the first map. The
-            # probe turns that into a clean failure the caller can catch
-            # (BatchIterator then assembles inline with the same streams).
             self._pool.map_async(_pool_probe, [0]).get(timeout=probe_timeout)
         except BaseException:
             pool = getattr(self, "_pool", None)
