@@ -66,6 +66,19 @@ class InferenceEngine:
     def _bucket(self, n: int) -> int:
         return min(1 << max(0, (n - 1)).bit_length(), self.max_batch)
 
+    def warm(self, buckets) -> None:
+        """Compile the forward for the given batch buckets up front (row 0
+        of every table is zeros, so all-zero index requests are valid) —
+        first-request latency drops from the compile time (~2 min through
+        a tunneled chip) to the steady-state few ms."""
+        for b in sorted({self._bucket(int(x)) for x in buckets}):
+            feat_idx = np.zeros((b, self.n_hyps, self.n_ctx, 3), np.int32)
+            rels_mask = np.zeros((b, self.n_hyps, self.n_ctx - 1), np.int64)
+            if not self.bundle.spec.tr_maximize:
+                feat_idx = feat_idx[:, 0]
+                rels_mask = rels_mask[:, 0]
+            self.predict(feat_idx, rels_mask)
+
     def _validate(self, feat_idx: np.ndarray, rels_mask: np.ndarray) -> None:
         if self.bundle.spec.tr_maximize:
             expect = (self.n_hyps, self.n_ctx, 3)
@@ -260,12 +273,20 @@ def main(argv=None):
     p.add_argument("--visual-dim", type=int, default=2048)
     p.add_argument("--text-layers", type=int, default=12)
     p.add_argument("--joint-dim", type=int, default=512)
+    p.add_argument("--warm-buckets", default="1",
+                   help="comma-separated batch sizes whose pow2 buckets "
+                        "compile at startup (first request then skips the "
+                        "compile); empty string disables")
     args = p.parse_args(argv)
 
     from lirec_tpu.cli.common import _enable_compilation_cache
 
     _enable_compilation_cache()
     engine = build_engine_from_args(args)
+    if args.warm_buckets:
+        buckets = [int(x) for x in args.warm_buckets.split(",") if x]
+        print("warming predict buckets %s..." % buckets)
+        engine.warm(buckets)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(engine))
     print("serving on http://%s:%d" % (args.host, args.port))
     server.serve_forever()

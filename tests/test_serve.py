@@ -179,3 +179,22 @@ def test_negative_content_length_rejected(server):
     resp = conn.getresponse()
     assert resp.status == 413
     conn.close()
+
+
+def test_engine_warm_compiles_buckets():
+    """warm() pre-runs the forward for the requested pow2 buckets so the
+    first real request skips the compile."""
+    cfg = config_lib.preset("int_rel_ch", data_root="/tmp/x")
+    cfg = cfg.with_dims(text_dim=16, visual_dim=32, joint_dim=16)
+    cfg = cfg.with_runtime(compute_dtype="float32")
+    bundle = create_model(cfg, 9, n_rels=6)
+    engine = InferenceEngine(
+        bundle, make_tables(bundle.spec, 32, 48, seed=1), max_batch=8
+    )
+    engine.warm([1, 3])
+    feat_idx = np.zeros((2, engine.n_hyps, engine.n_ctx, 3), np.int32)
+    rels_mask = np.zeros(
+        (2, engine.n_hyps, engine.n_ctx - 1), np.int64
+    )
+    out = engine.predict(feat_idx, rels_mask)
+    assert len(out) == 2
