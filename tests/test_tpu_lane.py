@@ -17,7 +17,9 @@ pytestmark = pytest.mark.tpu
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run_on_tpu(script: str, timeout: int = 900):
+def _run_on_tpu(script: str, timeout: int = 1800):
+    # generous: fresh compiles through the tunnel run 30-60s EACH and the
+    # shared chip drifts; a 900s budget flaked when caches were cold
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     env.pop("JAX_PLATFORMS", None)  # let the box's TPU platform win
