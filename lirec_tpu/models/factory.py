@@ -80,18 +80,17 @@ def apply_model(
             return hybrid.modalities_hybrid(
                 params, spec, tables, feat_idx, deterministic, rng
             )
-        # the pallas table-grad scatter VJP has no GSPMD partitioning rule:
-        # under a mesh the backward keeps XLA's scatter (which GSPMD knows
-        # how to partition+combine); single-device training gets the kernel
-        scatter_kernel = data_mesh is None
+        # the pallas table-grad scatter VJP has no GSPMD partitioning
+        # rule; under a mesh its backward runs per-shard via shard_map with
+        # a psum of the partial table grads (ops/scatter_accum.gather_h1)
         if spec.tr_maximize:
             return hybrid.midfusion_maxtracks_hybrid(
                 params, spec, tables, feat_idx, rels_mask, deterministic,
-                rng, scatter_kernel=scatter_kernel,
+                rng, data_mesh=data_mesh,
             )
         return hybrid.midfusion_hybrid(
             params, spec, tables, feat_idx, rels_mask, deterministic, rng,
-            scatter_kernel=scatter_kernel,
+            data_mesh=data_mesh,
         )
 
     s = slices_from_dense(jnp.asarray(batch["features"]), spec)

@@ -100,6 +100,7 @@ def _pooled_ctx_from_h1(
     params: Dict, prefix: str, h1: H1Tables, idx: jnp.ndarray,
     mask: jnp.ndarray, spec, rng: DropoutRng, deterministic: bool,
     guard_zero_divide: bool, scatter_kernel: bool = True,
+    data_mesh=None,
 ) -> jnp.ndarray:
     """ctx branch with the second layers applied AFTER the masked mean.
 
@@ -143,13 +144,15 @@ def _pooled_ctx_from_h1(
     # gather with the pallas scatter-accumulate VJP: a profiled train step
     # spends 1.3 ms/step in XLA's three table-grad scatters at these
     # shapes (BENCH.md r3b trace) — the kernel does them in ~0.8 with f32
-    # accumulation. CPU and unsupported shapes fall back to XLA's scatter,
-    # and meshed (GSPMD) training passes scatter_kernel=False — the kernel
-    # has no partitioning rule (models/factory.apply_model).
+    # accumulation. CPU and unsupported shapes fall back to XLA's scatter.
     if scatter_kernel:
         from lirec_tpu.ops.scatter_accum import gather_h1
 
-        clip, g_tr1, g_tr2 = gather_h1(h1.clip, h1.tr1, h1.tr2, idx)
+        # with a mesh the backward runs per-shard under shard_map and
+        # psums the partial table grads (no GSPMD rule for pallas)
+        clip, g_tr1, g_tr2 = gather_h1(
+            h1.clip, h1.tr1, h1.tr2, idx, mesh=data_mesh
+        )
     else:
         clip = h1.clip[idx[..., 0]]
         g_tr1 = h1.tr1[idx[..., 1]]
@@ -170,6 +173,7 @@ def midfusion_maxtracks_hybrid(
     deterministic: bool = False,
     rng: Optional[jax.Array] = None,
     scatter_kernel: bool = True,
+    data_mesh=None,
 ) -> Dict[str, Optional[jnp.ndarray]]:
     """MidFusionMultiClipMaxTracks over packed batches, hybrid layering.
 
@@ -196,7 +200,7 @@ def midfusion_maxtracks_hybrid(
         pooled = _pooled_ctx_from_h1(
             params, "ctx", h1c, flat_idx, rels_mask.reshape(B * T, R),
             spec, drop, deterministic, guard_zero_divide=True,
-            scatter_kernel=scatter_kernel,
+            scatter_kernel=scatter_kernel, data_mesh=data_mesh,
         )
         output_ctx = dropout(
             jnp.tanh(pooled), spec.dropout, drop, deterministic
@@ -227,6 +231,7 @@ def midfusion_hybrid(
     deterministic: bool = False,
     rng: Optional[jax.Array] = None,
     scatter_kernel: bool = True,
+    data_mesh=None,
 ) -> Dict[str, Optional[jnp.ndarray]]:
     """MidFusionMultiClip over packed batches, hybrid layering.
 
@@ -251,7 +256,7 @@ def midfusion_hybrid(
             params, "ctx", h1c, feat_idx[:, 1:, :], rels_mask.reshape(B, R),
             spec, drop, deterministic,
             guard_zero_divide=False,  # no zero guard (ref model.py:174-181)
-            scatter_kernel=scatter_kernel,
+            scatter_kernel=scatter_kernel, data_mesh=data_mesh,
         )
         output_ctx = dropout(
             jnp.tanh(pooled), spec.dropout, drop, deterministic

@@ -461,7 +461,7 @@ def _dispatch_scatter(idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr, force):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_gather_h1(n_clip, n_tr, dt_c, dt_1, dt_2):
+def _make_gather_h1(n_clip, n_tr, dt_c, dt_1, dt_2, mesh, data_axis):
     dt_c, dt_1, dt_2 = jnp.dtype(dt_c), jnp.dtype(dt_1), jnp.dtype(dt_2)
 
     @jax.custom_vjp
@@ -473,9 +473,36 @@ def _make_gather_h1(n_clip, n_tr, dt_c, dt_1, dt_2):
 
     def bwd(idx3, cotangents):
         g_clip, g_tr1, g_tr2 = cotangents
-        acc_c, acc_1, acc_2 = _dispatch_scatter(
-            idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr, _FORCE
-        )
+        if mesh is None:
+            acc_c, acc_1, acc_2 = _dispatch_scatter(
+                idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr, _FORCE
+            )
+        else:
+            # SPMD: each shard scatter-accumulates its LOCAL update rows
+            # (the kernel has no GSPMD rule) and the partial table grads
+            # psum across the data axis — the same collective XLA's
+            # partitioned scatter performs
+            from jax.sharding import PartitionSpec as P
+
+            def local(idx_l, gc_l, g1_l, g2_l):
+                a, b, c = _dispatch_scatter(
+                    idx_l, gc_l, g1_l, g2_l, n_clip, n_tr, _FORCE
+                )
+                return (
+                    jax.lax.psum(a, data_axis),
+                    jax.lax.psum(b, data_axis),
+                    jax.lax.psum(c, data_axis),
+                )
+
+            acc_c, acc_1, acc_2 = jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(
+                    P(data_axis), P(data_axis), P(data_axis), P(data_axis)
+                ),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )(idx3, g_clip, g_tr1, g_tr2)
         return (
             acc_c.astype(dt_c), acc_1.astype(dt_1), acc_2.astype(dt_2), None
         )
@@ -484,13 +511,16 @@ def _make_gather_h1(n_clip, n_tr, dt_c, dt_1, dt_2):
     return g
 
 
-def gather_h1(clip, tr1, tr2, idx3):
+def gather_h1(clip, tr1, tr2, idx3, mesh=None, data_axis="data"):
     """(clip[idx3[...,0]], tr1[idx3[...,1]], tr2[idx3[...,2]]) with the
     table-gradient scatter running through the pallas accumulator on TPU
     (module-level ``_FORCE`` overrides dispatch for tests). Forward is the
-    plain XLA gather either way."""
+    plain XLA gather either way. With ``mesh``, the backward runs the
+    kernel per-shard under shard_map over ``data_axis`` and psums the
+    partial table grads — SPMD training keeps the kernel."""
     fn = _make_gather_h1(
         clip.shape[0], tr1.shape[0],
         clip.dtype.name, tr1.dtype.name, tr2.dtype.name,
+        mesh, data_axis,
     )
     return fn(clip, tr1, tr2, jnp.asarray(idx3, jnp.int32))

@@ -117,3 +117,63 @@ def test_tiered_dispatch_matches_reference(monkeypatch, data):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
         )
+
+
+def test_meshed_train_grads_match_single_device_kernel_path():
+    """The shard_map backward (per-shard kernel + psum of partial table
+    grads) must produce the single-device gradients — exercised with the
+    kernel ON (interpret mode) at kernel-compatible dims."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lirec_tpu import config as config_lib
+    from lirec_tpu.models.factory import create_model
+    from lirec_tpu.parallel.mesh import make_mesh
+    from lirec_tpu.utils.fake_batch import make_batch, make_tables
+
+    cfg = config_lib.preset("int_rel_ch", data_root="/nonexistent")
+    cfg = cfg.with_dims(text_dim=16, visual_dim=32, joint_dim=256)
+    cfg = cfg.with_runtime(compute_dtype="float32")
+    bundle = create_model(cfg, 11, n_rels=6)
+    mesh = make_mesh(shape=(4, 2))
+    tables = jax.tree.map(jnp.asarray, make_tables(bundle.spec, 32, 48))
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in make_batch(bundle.spec, 16, 32, 48).items()
+    }
+    model_batch = {k: batch[k] for k in ("feat_idx", "rels_mask")}
+    rng = jax.random.PRNGKey(0)
+
+    def loss_fn(p, data_mesh):
+        out = bundle.apply(
+            p, model_batch, tables=tables, deterministic=False,
+            rng=rng, data_mesh=data_mesh,
+        )
+        return bundle.loss(out, batch, rng=rng, tr_sum_max_flag=True)
+
+    old = sa._FORCE
+    try:
+        sa._FORCE = "interpret"
+        g_single = jax.grad(loss_fn)(bundle.params, None)
+        sharded_batch = {
+            k: jax.device_put(
+                v, NamedSharding(mesh, P("data", *([None] * (v.ndim - 1))))
+            )
+            for k, v in batch.items()
+        }
+        model_batch = {k: sharded_batch[k] for k in ("feat_idx", "rels_mask")}
+        batch_ref = sharded_batch
+        def loss_fn_sharded(p):
+            out = bundle.apply(
+                p, model_batch, tables=tables, deterministic=False,
+                rng=rng, data_mesh=mesh,
+            )
+            return bundle.loss(out, batch_ref, rng=rng, tr_sum_max_flag=True)
+        g_mesh = jax.jit(jax.grad(loss_fn_sharded))(bundle.params)
+    finally:
+        sa._FORCE = old
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+        ),
+        g_single, g_mesh,
+    )
