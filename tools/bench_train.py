@@ -31,7 +31,8 @@ def log(msg):
 
 
 def measure_modes(modes, batch: int = 64, iters: int = 120, reps: int = 5,
-                  compute_dtype: str = "bfloat16"):
+                  compute_dtype: str = "bfloat16",
+                  strict_prng: bool = False):
     """Slope-time the requested modes; returns {mode: ms_per_step}.
 
     Importable (bench.py uses it for the train_ms_per_step headline)."""
@@ -46,7 +47,9 @@ def measure_modes(modes, batch: int = 64, iters: int = 120, reps: int = 5,
 
     _enable_compilation_cache()
     cfg = config_lib.preset("int_rel_ch", data_root="/nonexistent")
-    cfg = cfg.with_runtime(compute_dtype=compute_dtype)
+    cfg = cfg.with_runtime(
+        compute_dtype=compute_dtype, fast_prng=not strict_prng
+    )
     bundle = create_model(cfg, 101, n_rels=15)
     n_clips, n_tracks = 2048, 4096
     tables = jax.tree.map(
@@ -61,7 +64,10 @@ def measure_modes(modes, batch: int = 64, iters: int = 120, reps: int = 5,
         k: jnp.stack([jnp.asarray(b[k]) for b in batches])
         for k in batches[0]
     }
-    base_rng = jax.random.key(0, impl="rbg")
+    base_rng = (
+        jax.random.PRNGKey(0) if strict_prng
+        else jax.random.key(0, impl="rbg")
+    )
     o = cfg.optim
     MODEL_KEYS = ("feat_idx", "rels_mask")
 
@@ -182,10 +188,14 @@ def main():
                          "run-to-run noise needs ~1s sweeps")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--compute-dtype", default="bfloat16")
+    ap.add_argument("--strict-prng", action="store_true",
+                    help="threefry dropout stream (the exact r1 bernoulli "
+                         "path) instead of the rbg default")
     args = ap.parse_args()
     results = measure_modes(
         [m for m in args.modes.split(",")], batch=args.batch,
         iters=args.iters, reps=args.reps, compute_dtype=args.compute_dtype,
+        strict_prng=args.strict_prng,
     )
     import json
 
