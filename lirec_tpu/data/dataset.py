@@ -831,6 +831,23 @@ class InteractionDataset:
             sf_idx += 1
         output["soft_labels"] = soft_labels
 
+    # -- precompiled epoch assembly ----------------------------------------
+
+    def assembly_plan(self):
+        """Lazily-built `data.plan.AssemblyPlan` (None if unsupported).
+
+        The plan assembles whole epochs bitwise-identically to this
+        class's per-sample path at ~100x the speed (see data/plan.py);
+        invalidated if the label chooser is swapped after building."""
+        from lirec_tpu.data import plan as plan_lib
+
+        cached = getattr(self, "_assembly_plan", None)
+        if cached is not None and cached[0] is self.label_chooser:
+            return cached[1]
+        plan = plan_lib.build_plan(self)
+        self._assembly_plan = (self.label_chooser, plan)
+        return plan
+
     # -- whole-split materialization ---------------------------------------
 
     def materialize(

@@ -9,6 +9,7 @@ dense features happens **on device** inside jit (see models/*).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Iterator, List
 
 import numpy as np
@@ -192,6 +193,7 @@ class BatchIterator:
         seed: int = 0,
         dense: bool = False,
         workers: int = 0,
+        fast_assembly: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -204,6 +206,12 @@ class BatchIterator:
         # any worker count (0 = in-process, N = AssemblyPool, and the
         # inline fallback on pool failure) yields identical batches
         self.workers = workers
+        # plan-based whole-epoch assembly (data/plan.py): bitwise-identical
+        # to the per-sample path, ~100x faster; default-on wherever the
+        # dataset supports it (LIREC_TPU_NO_PLAN=1 opts out globally)
+        self.fast_assembly = fast_assembly and not os.environ.get(
+            "LIREC_TPU_NO_PLAN"
+        )
         self._pool = None
         self.epoch = 0
 
@@ -260,6 +268,26 @@ class BatchIterator:
             and not getattr(self.dataset, "test_rels_multi_clip", False)
         ):
             materialized = self.dataset.materialize()
+        plan = None
+        if (
+            materialized is None
+            and not self.dense
+            and self.fast_assembly
+            and not getattr(self.dataset, "test_rels_multi_clip", False)
+            and hasattr(self.dataset, "assembly_plan")
+        ):
+            plan = self.dataset.assembly_plan()
+        if plan is not None:
+            if self.drop_last:
+                order = order[: (len(order) // self.batch_size) * self.batch_size]
+            epoch_data = plan.assemble(order, self.seed, self.epoch)
+            for start in range(0, len(order), self.batch_size):
+                yield {
+                    k: v[start : start + self.batch_size]
+                    for k, v in epoch_data.items()
+                }
+            self.epoch += 1
+            return
         if self.workers and not self.dense and materialized is None:
             if self.drop_last:
                 order = order[: (len(order) // self.batch_size) * self.batch_size]

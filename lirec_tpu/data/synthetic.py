@@ -91,6 +91,8 @@ class SyntheticSpec:
         visual_dim: int = 32,
         text_layers: int = 4,
         seed: int = 0,
+        scenes: List[int] = None,
+        extra_rel_p: float = 0.0,
     ):
         # split -> movies; ids match the reference sanity movies
         self.movies = movies or {
@@ -106,6 +108,12 @@ class SyntheticSpec:
         self.visual_dim = visual_dim
         self.text_layers = text_layers
         self.seed = seed
+        # per-movie scene ids; more scenes -> recurring pairs accumulate
+        # >rels_n_clips context clips, exercising train-time subsampling
+        self.scenes = scenes or [2, 4, 6, 8, 10, 12, 14, 16]
+        # probability of a second relationship label on the same pair in a
+        # scene (multi-label scenes drive the train-time label draws)
+        self.extra_rel_p = extra_rel_p
 
 
 def make_config(root: str, spec: SyntheticSpec = None, **kw) -> config_lib.ExperimentConfig:
@@ -205,6 +213,13 @@ def _clip_graph_json(
         ra, rb = 1, 2
     edges.append({"source": ra, "target": 30})
     edges.append({"source": 30, "target": rb})
+    if rng.random() < spec.extra_rel_p:
+        # second relationship label on the same pair: the scene becomes
+        # multi-label and sample assembly draws which one to use
+        other = list(RAW_RELS)[int(rng.integers(len(RAW_RELS)))]
+        nodes.append({"id": 31, "name": other, "type": "relationship"})
+        edges.append({"source": ra, "target": 31})
+        edges.append({"source": 31, "target": rb})
 
     return {
         "situation": "synthetic",
@@ -356,7 +371,7 @@ def generate(root: str, spec: SyntheticSpec = None) -> config_lib.ExperimentConf
     for mode, movies in spec.movies.items():
         split[mode] = movies
         for movie in movies:
-            scenes_by_movie[movie] = [2, 4, 6, 8, 10, 12, 14, 16]
+            scenes_by_movie[movie] = list(spec.scenes)
     with open(ops.join(root, "others", "split.json"), "w") as f:
         json.dump(split, f)
     with open(ops.join(root, "others", "org_res.txt"), "w") as f:

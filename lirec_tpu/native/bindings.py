@@ -97,3 +97,88 @@ def pack_rows(
         flat_idx, n, out,
     )
     return out.reshape(idx.shape[:-1] + (row_dim,))
+
+
+# ------------------------------------------------- batch-assembly engine
+
+_asm_lib = None
+_asm_tried = False
+
+
+def _load_assembly():
+    global _asm_lib, _asm_tried
+    if _asm_tried:
+        return _asm_lib
+    _asm_tried = True
+    if os.environ.get("LIREC_TPU_NO_NATIVE"):
+        return None
+    try:
+        from lirec_tpu.native.build import build_assembly
+
+        lib = ctypes.CDLL(build_assembly())
+        i64, u32 = ctypes.c_int64, ctypes.c_uint32
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+        lib.assemble_epoch.argtypes = [
+            i64p, i64p, i64p, u32p, i64, u32, u32, i32p,
+            i32p, i64, i32p, i64, i32p, i64, i32p, i64, i32p, i64,
+        ]
+        lib.assemble_epoch.restype = ctypes.c_int
+        lib.rng_selftest.argtypes = [
+            u32, u32, u32, i64, u64p, i64, i64, i64p, i64, i64, i64p,
+        ]
+        _asm_lib = lib
+    except Exception:
+        _asm_lib = None
+    return _asm_lib
+
+
+def assembly_available() -> bool:
+    return _load_assembly() is not None
+
+
+def assemble_epoch(
+    code: np.ndarray,
+    prog_off: np.ndarray,
+    pos: np.ndarray,
+    sample_id: np.ndarray,
+    seed: int,
+    epoch: int,
+    pool: np.ndarray,
+    outs,
+    strides,
+) -> None:
+    """Run the site programs for one epoch's dynamic samples (data/plan.py)."""
+    lib = _load_assembly()
+    args = [
+        np.ascontiguousarray(code, np.int64),
+        np.ascontiguousarray(prog_off, np.int64),
+        np.ascontiguousarray(pos, np.int64),
+        np.ascontiguousarray(sample_id, np.uint32),
+        len(pos), seed, epoch,
+        np.ascontiguousarray(pool, np.int32),
+    ]
+    for a, s in zip(outs, strides):
+        assert a.dtype == np.int32 and a.flags.c_contiguous
+        args.extend([a, int(s)])
+    rc = lib.assemble_epoch(*args)
+    if rc != 0:
+        raise RuntimeError("native assembly engine failed (rc=%d)" % rc)
+
+
+def rng_selftest(
+    seed: int, epoch: int, i: int, n_raw: int, n_int: int, int_bound: int,
+    choice_pop: int, choice_k: int,
+):
+    """Raw draw chain from the native engine, for fuzzing against numpy."""
+    lib = _load_assembly()
+    raw = np.zeros(max(n_raw, 1), np.uint64)
+    ints = np.zeros(max(n_int, 1), np.int64)
+    ch = np.zeros(max(choice_k, 1), np.int64)
+    lib.rng_selftest(
+        seed, epoch, i, n_raw, raw, n_int, int_bound, ints,
+        choice_pop, choice_k, ch,
+    )
+    return raw[:n_raw], ints[:n_int], ch[:choice_k]

@@ -16,6 +16,7 @@ fallback elsewhere (or when shapes don't meet the tiling constraints).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -24,9 +25,13 @@ __all__ = [
     "gather_masked_sum",
     "gather_masked_sum_reference",
     "fused_ctx_pool",
+    "last_dispatch",
 ]
 
 TILE_M = 8  # f32 sublane count
+
+from lirec_tpu.ops.dispatch import last_dispatch  # noqa: F401 (re-export)
+from lirec_tpu.ops.dispatch import record as _record_dispatch
 
 
 def gather_masked_sum_reference(
@@ -202,6 +207,10 @@ def fused_ctx_pool(
     """
     idx = jnp.asarray(idx, jnp.int32)
     mask = jnp.asarray(mask)
+    if force == "auto":
+        # ops-level escape hatch (compile-cost experiments, tier forcing
+        # in the real-scale stress bench): LIREC_TPU_CTX_FORCE=reference|pallas
+        force = os.environ.get("LIREC_TPU_CTX_FORCE", "auto")
 
     def reference():
         divider = mask.sum(axis=-1, keepdims=True)
@@ -218,7 +227,12 @@ def fused_ctx_pool(
         )
         return jnp.tanh(pooled / divider.astype(pooled.dtype))
 
+    shapes = dict(
+        idx=tuple(idx.shape), clip=tuple(emb.clip.shape),
+        tr=tuple(emb.tr1.shape),
+    )
     if force == "reference":
+        _record_dispatch("fused_ctx_pool", "reference", "forced", shapes)
         return reference()
     M, R = idx.shape[0], idx.shape[1]
     ok = (
@@ -251,10 +265,23 @@ def fused_ctx_pool(
         )
     on_tpu = jax.default_backend() == "tpu"
     if force == "pallas" or (force == "auto" and on_tpu and ok):
+        _record_dispatch(
+            "fused_ctx_pool", "pallas",
+            "forced" if force == "pallas" else "auto", shapes,
+        )
         return _fused_pallas_call(
             emb.clip, emb.tr1, emb.tr2, idx, mask, guard_zero_divide,
             tile_m=tile_m,
         )
+    _record_dispatch(
+        "fused_ctx_pool", "reference",
+        "not on TPU" if not on_tpu
+        else ("VMEM/SMEM gate: tables %.1f MB, idx+mask %.0f KB"
+              % ((emb.clip.size + emb.tr1.size + emb.tr2.size)
+                 * emb.clip.dtype.itemsize / 2**20,
+                 (M * R * 3 + M * (R + 1)) * 4 / 1024)),
+        shapes,
+    )
     return reference()
 
 
@@ -282,6 +309,15 @@ def gather_masked_sum(
     if force == "interpret":
         return _pallas_call(table, idx, mask, interpret=True)
     on_tpu = jax.default_backend() == "tpu"
+    shapes = dict(table=tuple(table.shape), idx=tuple(idx.shape))
     if force == "pallas" or (force == "auto" and on_tpu and _supported(table, idx)):
+        _record_dispatch(
+            "gather_masked_sum", "pallas",
+            "forced" if force == "pallas" else "auto", shapes,
+        )
         return _pallas_call(table, idx, mask)
+    _record_dispatch(
+        "gather_masked_sum", "reference",
+        "not on TPU" if not on_tpu else "shape/VMEM gate", shapes,
+    )
     return gather_masked_sum_reference(table, idx, mask)

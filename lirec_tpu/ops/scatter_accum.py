@@ -23,6 +23,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from lirec_tpu.ops.dispatch import record as _record
+
 __all__ = ["gather_h1", "scatter_accum3", "scatter_accum3_reference"]
 
 _FORCE = "auto"  # test hook: lirec_tpu.ops.scatter_accum._FORCE = 'interpret'
@@ -400,10 +402,23 @@ def scatter_accum3(idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr, force="auto"):
         return _pallas_call(
             idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr, interpret=True
         )
+    shapes = dict(
+        idx=tuple(idx3.shape), n_clip=n_clip, n_tr=n_tr,
+        d_clip=g_clip.shape[-1], d_tr=g_tr1.shape[-1],
+    )
     if force == "pallas" or (force == "auto" and _kernel_requested(force) and ok):
+        _record(
+            "scatter_accum", "pallas-3table%s" % ("-3d" if use_3d else ""),
+            "forced" if force == "pallas" else "auto", shapes,
+        )
         if use_3d:
             return _pallas_call3d(idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr)
         return _pallas_call(idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr)
+    _record(
+        "scatter_accum", "xla-scatter",
+        "not on TPU" if jax.default_backend() != "tpu"
+        else "VMEM/SMEM gate", shapes,
+    )
     return scatter_accum3_reference(idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr)
 
 
@@ -434,11 +449,13 @@ def _dispatch_scatter(idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr, force):
         )
     interp = force == "interpret"
     outs = []
+    tiers = []
     for g, n_rows, col in (
         (g_clip, n_clip, 0), (g_tr1, n_tr, 1), (g_tr2, n_tr, 2)
     ):
         d = g.shape[-1]
         if _table_fits(n_rows, d):
+            tiers.append("pallas")
             outs.append(
                 _pallas_call1(idx3[..., col], g, n_rows, interpret=interp)
             )
@@ -452,11 +469,17 @@ def _dispatch_scatter(idx3, g_clip, g_tr1, g_tr2, n_clip, n_tr, force):
                 "fallback)" % (n_rows, d)
             )
         else:
+            tiers.append("xla")
             outs.append(
                 jnp.zeros((n_rows, d), jnp.float32)
                 .at[idx3[..., col].reshape(-1)]
                 .add(g.reshape(-1, d).astype(jnp.float32))
             )
+    _record(
+        "scatter_accum", "tiered:" + "/".join(tiers),
+        "per-table VMEM fit (clip/tr1/tr2)",
+        dict(idx=tuple(idx3.shape), n_clip=n_clip, n_tr=n_tr),
+    )
     return tuple(outs)
 
 

@@ -1,0 +1,204 @@
+"""Plan-based whole-epoch assembly (data/plan.py + native/assembly.cpp):
+
+1. the native engine's SeedSequence->PCG64->Generator draw chain is
+   bit-exact vs numpy (fuzzed);
+2. plan assembly (numpy executor AND native engine) is bitwise-identical
+   to the per-sample `__getitem__` path under the (seed, epoch, i) stream
+   contract, on draw-heavy data (multi-label scenes, >rels_n_clips
+   contexts) across presets and modes;
+3. the BatchIterator plan path yields exactly the per-sample path's
+   batches across epochs (incl. drop_last), and unsupported datasets fall
+   back cleanly.
+"""
+
+import numpy as np
+import pytest
+
+from lirec_tpu import config as config_lib
+from lirec_tpu.data import plan as plan_lib
+from lirec_tpu.data import synthetic
+from lirec_tpu.data.dataset import InteractionDataset, first_choice
+from lirec_tpu.data.pipeline import BatchIterator, collate
+from lirec_tpu.native import bindings
+
+
+@pytest.fixture(scope="session")
+def dense_root(tmp_path_factory):
+    """Draw-heavy synthetic data: 30 scenes/movie and 40% multi-label
+    relationship scenes, so train assembly hits both label draws and
+    >rels_n_clips context subsampling."""
+    root = tmp_path_factory.mktemp("mg_dense")
+    spec = synthetic.SyntheticSpec(
+        scenes=list(range(2, 62, 2)), extra_rel_p=0.4
+    )
+    synthetic.generate(str(root), spec)
+    return str(root)
+
+
+def _dataset(root, preset="int_rel_ch", mode="train"):
+    base = synthetic.make_config(root)
+    cfg = config_lib.preset(preset, data_root=root)
+    cfg = cfg.replace(dims=base.dims, paths=base.paths)
+    ds = InteractionDataset(cfg, mode=mode)
+    ds.cache()
+    if cfg.tasks.rels or cfg.tasks.rels_multitask:
+        ds.init_relships()
+    return cfg, ds
+
+
+def _reference_epoch(ds, order, seed, epoch):
+    return collate(
+        [
+            ds.__getitem__(int(i), np.random.default_rng((seed, epoch, int(i))))
+            for i in order
+        ]
+    )
+
+
+def _assert_tree_equal(ref, got):
+    assert set(ref) == set(got)
+    for k in ref:
+        np.testing.assert_array_equal(ref[k], got[k], err_msg=k)
+
+
+# ------------------------------------------------------------- native rng
+
+
+def test_native_rng_bit_exact_vs_numpy():
+    if not bindings.assembly_available():
+        pytest.skip("native assembly engine unavailable")
+    rng = np.random.default_rng(42)
+    for _ in range(200):
+        seed, epoch, i = (int(rng.integers(2**32)) for _ in range(3))
+        bound = int(rng.integers(2, 10_000))
+        pop = int(rng.integers(19, 6000))
+        raw, ints, ch = bindings.rng_selftest(
+            seed, epoch, i, 4, 6, bound, pop, 18
+        )
+        g = np.random.default_rng((seed, epoch, i))
+        np.testing.assert_array_equal(raw, g.bit_generator.random_raw(4))
+        np.testing.assert_array_equal(
+            ints, [int(g.integers(bound)) for _ in range(6)]
+        )
+        np.testing.assert_array_equal(ch, g.choice(pop, 18, replace=False))
+
+
+def test_native_rng_small_bounds_and_pops():
+    if not bindings.assembly_available():
+        pytest.skip("native assembly engine unavailable")
+    # edge bounds: powers of two, tiny pops, pop == k + 1
+    for bound in (2, 3, 4, 8, 16, 256):
+        for pop, k in ((19, 18), (2, 1), (3, 2), (20, 18)):
+            raw, ints, ch = bindings.rng_selftest(
+                5, 6, 7 + bound + pop, 0, 8, bound, pop, k
+            )
+            g = np.random.default_rng((5, 6, 7 + bound + pop))
+            np.testing.assert_array_equal(
+                ints, [int(g.integers(bound)) for _ in range(8)]
+            )
+            np.testing.assert_array_equal(ch, g.choice(pop, k, replace=False))
+
+
+# --------------------------------------------------------------- plan
+
+
+@pytest.mark.parametrize(
+    "preset,mode",
+    [
+        ("int_rel_ch", "train"),
+        ("int_rel_ch", "val"),
+        ("int_rels", "train"),
+        ("int_ch", "train"),
+    ],
+)
+def test_plan_bitwise_vs_per_sample(dense_root, preset, mode):
+    _, ds = _dataset(dense_root, preset, mode)
+    plan = ds.assembly_plan()
+    assert plan is not None
+    if preset == "int_rel_ch" and mode == "train":
+        assert plan.n_dynamic > 0  # the fixture must exercise draws
+    rng = np.random.default_rng(0)
+    for seed, epoch in [(0, 0), (7, 3), (12345, 11)]:
+        order = rng.permutation(len(ds))
+        ref = _reference_epoch(ds, order, seed, epoch)
+        got_np = plan.assemble(order, seed, epoch, use_native=False)
+        _assert_tree_equal(ref, got_np)
+        got = plan.assemble(order, seed, epoch, use_native=True)
+        _assert_tree_equal(ref, got)
+        if bindings.assembly_available() and plan.n_dynamic:
+            assert plan.last_engine == "native"
+
+
+def test_plan_huge_seed_falls_back_to_numpy_executor(dense_root):
+    _, ds = _dataset(dense_root)
+    plan = ds.assembly_plan()
+    seed = 2**40 + 17  # >u32: native engine can't represent the stream
+    order = np.arange(len(ds))
+    ref = _reference_epoch(ds, order, seed, 1)
+    got = plan.assemble(order, seed, 1)
+    _assert_tree_equal(ref, got)
+    if plan.n_dynamic:
+        assert plan.last_engine == "numpy"
+
+
+def test_plan_unsupported_chooser_returns_none(dense_root):
+    _, ds = _dataset(dense_root)
+    ds.label_chooser = first_choice
+    assert ds.assembly_plan() is None
+
+
+# ---------------------------------------------------------- BatchIterator
+
+
+def test_batch_iterator_plan_path_identical(dense_root):
+    _, ds = _dataset(dense_root)
+    fast = BatchIterator(ds, 13, shuffle=True, seed=3)
+    slow = BatchIterator(ds, 13, shuffle=True, seed=3, fast_assembly=False)
+    for _ in range(3):  # epochs advance internal state identically
+        fb = list(fast)
+        sb = list(slow)
+        assert len(fb) == len(sb) > 1
+        for b1, b2 in zip(fb, sb):
+            _assert_tree_equal(b2, b1)
+
+
+def test_batch_iterator_plan_drop_last(dense_root):
+    _, ds = _dataset(dense_root)
+    fast = BatchIterator(ds, 16, shuffle=True, seed=5, drop_last=True)
+    slow = BatchIterator(
+        ds, 16, shuffle=True, seed=5, drop_last=True, fast_assembly=False
+    )
+    fb, sb = list(fast), list(slow)
+    assert len(fb) == len(sb) == len(ds) // 16
+    for b1, b2 in zip(fb, sb):
+        _assert_tree_equal(b2, b1)
+
+
+def test_train_loop_uses_plan(dense_root):
+    """End-to-end: the train loop's iterator takes the plan path and the
+    trajectory matches the per-sample path exactly."""
+    from lirec_tpu.models.factory import create_model
+    from lirec_tpu.train.loop import train
+
+    base = synthetic.make_config(dense_root)
+    cfg = config_lib.preset("int_rel_ch", data_root=dense_root)
+    cfg = cfg.replace(dims=base.dims, paths=base.paths).with_runtime(
+        compute_dtype="float32"
+    ).with_optim(batch_size=16, epochs=2, save_model=False, lr=1e-3)
+    ds = InteractionDataset(cfg, mode="train")
+    ds.cache()
+    ds.init_relships()
+    bundle = create_model(
+        cfg, ds.n_classes, n_rels=max(len(ds.rels_list) - 1, 0)
+    )
+    out_fast = train(cfg, bundle, ds, verbose=False)
+    assert ds.assembly_plan() is not None
+    assert ds.assembly_plan().last_engine in ("native", "numpy", "static")
+    import os
+
+    os.environ["LIREC_TPU_NO_PLAN"] = "1"
+    try:
+        out_slow = train(cfg, bundle, ds, verbose=False)
+    finally:
+        del os.environ["LIREC_TPU_NO_PLAN"]
+    np.testing.assert_allclose(out_fast["losses"], out_slow["losses"])

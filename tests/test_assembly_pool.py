@@ -27,16 +27,24 @@ def _epochs(it, n=2):
 
 def test_worker_counts_agree(synth_root):
     cfg, ds = _dataset(synth_root)
-    pooled_it = BatchIterator(ds, 7, shuffle=True, seed=3, workers=2)
+    pooled_it = BatchIterator(
+        ds, 7, shuffle=True, seed=3, workers=2, fast_assembly=False
+    )
     pooled = _epochs(pooled_it)
     pooled_it.close()
-    # the workers=0 default path (in-process, per-sample streams)
-    default = _epochs(BatchIterator(ds, 7, shuffle=True, seed=3))
+    # the workers=0 per-sample path (in-process, per-sample streams)
+    default = _epochs(
+        BatchIterator(ds, 7, shuffle=True, seed=3, fast_assembly=False)
+    )
+    # the plan-based whole-epoch path (the default)
+    planned = _epochs(BatchIterator(ds, 7, shuffle=True, seed=3))
     # the inline fallback a failed pool spawn uses
-    fallback_it = BatchIterator(ds, 7, shuffle=True, seed=3, workers=1)
+    fallback_it = BatchIterator(
+        ds, 7, shuffle=True, seed=3, workers=1, fast_assembly=False
+    )
     fallback_it._pool = False
     fallback = _epochs(fallback_it)
-    for other in (default, fallback):
+    for other in (default, planned, fallback):
         for eb, es in zip(pooled, other):
             assert len(eb) == len(es)
             for bb, bs in zip(eb, es):
