@@ -139,7 +139,9 @@ def bench_jax(batch_size: int, iters: int, warmup: int, compute_dtype: str):
 # ------------------------------------------------ ours, end to end (JAX)
 
 
-def bench_e2e_eval(batch_size: int, compute_dtype: str):
+def bench_e2e_eval(batch_size: int, compute_dtype: str,
+                   n_clips: int = 2048, n_tracks: int = 4096,
+                   n_batches: int = 168, dims=None):
     """End-to-end eval throughput: packed split (device-resident index
     batches) -> on-device metric sweep -> fetched counters -> metric dict
     on host. This is the full product path of `evaluate_packed` (the whole
@@ -164,13 +166,14 @@ def bench_e2e_eval(batch_size: int, compute_dtype: str):
     C, NR = 101, 15
     cfg = config_lib.preset("int_rel_ch", data_root="/nonexistent")
     cfg = cfg.with_runtime(compute_dtype=compute_dtype)
+    if dims:
+        cfg = cfg.with_dims(**dims)
     bundle = create_model(cfg, C, n_rels=NR)
-    n_clips, n_tracks = 2048, 4096
     tables = jax.tree.map(
         jnp.asarray, make_tables(bundle.spec, n_clips, n_tracks)
     )
     B = batch_size
-    N_BATCHES = 168  # split size for the long sweep
+    N_BATCHES = n_batches  # split size for the long sweep
     data = make_batch(bundle.spec, B * N_BATCHES, n_clips, n_tracks, seed=7)
     data = {k: jnp.asarray(v) for k, v in data.items()}
 
@@ -203,7 +206,8 @@ def bench_e2e_eval(batch_size: int, compute_dtype: str):
     log("compiling e2e sweep (%s)..." % jax.default_backend())
     t0 = time.time()
     run(2)
-    log("compile+first run: %.1fs" % (time.time() - t0))
+    compile_s = time.time() - t0
+    log("compile+first run: %.1fs" % compile_s)
 
     per_batch = []
     for rep in range(3):
@@ -222,7 +226,14 @@ def bench_e2e_eval(batch_size: int, compute_dtype: str):
         "(metric dict keys: %s)"
         % (per * 1000, B, clips_per_sec, sorted(out))
     )
-    return clips_per_sec
+    return {
+        "clips_per_sec": clips_per_sec,
+        "per_batch_ms": [round(p * 1000, 3) for p in per_batch],
+        "spread_ms": round(
+            (max(per_batch) - min(per_batch)) * 1000, 3
+        ),
+        "compile_s": round(compile_s, 1),
+    }
 
 
 # ------------------------------------------------- on-chip parity gate
@@ -446,18 +457,22 @@ def main():
     with open(BASELINE_FILE) as f:
         base = json.load(f)["torch_cpu_clips_per_sec"]
 
-    e2e = bench_e2e_eval(args.batch, args.compute_dtype)
+    e2e_stats = bench_e2e_eval(args.batch, args.compute_dtype)
+    e2e = e2e_stats["clips_per_sec"]
     device_only = bench_jax(args.batch, args.iters, args.warmup,
                             args.compute_dtype)
 
-    # train-step headline: the full fwd+loss+bwd+Adam step, slope-timed
-    # (tools/bench_train.py modes; 3 reps keep the bench wall-clock sane)
+    # train-step headline: the full fwd+loss+bwd+Adam step, slope-timed;
+    # the published number is the MEDIAN of the session's positive-slope
+    # reps, with the spread alongside (never the best rep — the r2 "Adam
+    # 1.8 ms" retraction, BENCH.md)
     from tools.bench_train import measure_modes
 
-    train_ms = measure_modes(
+    train = measure_modes(
         ["full"], batch=args.batch, iters=150, reps=5,
-        compute_dtype=args.compute_dtype,
+        compute_dtype=args.compute_dtype, detailed=True,
     )["full"]
+    train_ms = train["ms"]
     log("train step: %.2f ms -> %.0f clips/sec" %
         (train_ms, args.batch / (train_ms / 1000)))
 
@@ -471,8 +486,19 @@ def main():
                 "value": round(e2e, 2),
                 "unit": "clips/sec",
                 "vs_baseline": round(e2e / base, 2),
+                "e2e_per_batch_ms": e2e_stats["per_batch_ms"],
+                "e2e_spread_ms": e2e_stats["spread_ms"],
+                # operational latency is part of the product: the driver
+                # tracks compile-time regressions through this field
+                # (r3's went unreported; axon-tunnel remote compiles vary
+                # 144-870s run to run — see BENCH.md "cold compile")
+                "compile_s_e2e": e2e_stats["compile_s"],
                 "device_only_fwd_loss_clips_per_sec": round(device_only, 2),
                 "train_ms_per_step": round(train_ms, 3),
+                "train_ms_per_step_median": round(train_ms, 3),
+                "train_ms_reps": train["reps_ms"],
+                "train_ms_spread": train["spread_ms"],
+                "train_compile_s": train["compile_s"],
                 "train_clips_per_sec": round(args.batch / (train_ms / 1000), 1),
                 "parity": parity,
                 "baseline_method": "torch-CPU reference-equivalent compute, "

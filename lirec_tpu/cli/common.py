@@ -241,7 +241,15 @@ def run_entry(preset_name: str, argv=None) -> dict:
             process_id=args.process_id,
         )
         if not args.mesh:
-            raise SystemExit("multi-process runs need an explicit --mesh")
+            # auto data-only mesh over all global devices: multi-process
+            # runs keep the one-dispatch epoch sweep + sharded packed eval
+            # without requiring an explicit topology (r3 degraded these to
+            # the per-batch/per-process paths instead)
+            import jax
+
+            args.mesh = "%dx1" % jax.device_count()
+            if verbose and args.process_id == 0:
+                print("no --mesh given: using data-only mesh %s" % args.mesh)
     _enable_compilation_cache()
     # fast_prng is honored by train/loop.py via an explicit rbg-typed base
     # key — NOT by mutating the global default PRNG impl (which would also
@@ -350,7 +358,10 @@ def run_entry(preset_name: str, argv=None) -> dict:
             assembly_workers=args.assembly_workers,
         )
         params = out["params"]
-        results["train"] = {"losses": out["losses"]}
+        results["train"] = {
+            "losses": out["losses"],
+            "epoch_sweep_used": out.get("epoch_sweep_used"),
+        }
     else:
         eval_kw = {}
         if args.host_eval:

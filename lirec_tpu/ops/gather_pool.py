@@ -119,32 +119,32 @@ def _make_fused_kernel(r_count: int, d_clip: int, d_tr: int,
     def _kernel(idx_ref, mask_ref, clip_ref, tr1_ref, tr2_ref, out_ref):
         """One grid step computes TILE_M fused tanh(pooled-concat) rows.
 
-        idx_ref:  SMEM [M*R*3] flat index triples (scalar-prefetched)
-        mask_ref: SMEM [M*(R+1)] flat: R mask scalars then 1 divider
+        idx_ref:  SMEM [1, TILE_M*R*3] per-tile index triples (blocked —
+                  r4: the r2/r3 version scalar-prefetched ALL M*R*3
+                  indices into SMEM, whose 1 MiB capacity gated the kernel
+                  off above M*73*4 bytes ~ B=192 at R=18: the B=256 eval
+                  throughput silently HALVED. Per-tile SMEM blocks remove
+                  the M term from the residency requirement entirely.)
+        mask_ref: SMEM [1, TILE_M*(R+1)]: per row, R mask scalars + 1/div
         clip_ref: VMEM [Nc, d_clip]; tr1/tr2_ref: VMEM [Nt, d_tr]
         out_ref:  VMEM [TILE_M, d_clip + 2*d_tr]
         """
-        from jax.experimental import pallas as pl
-
-        tile = pl.program_id(0)
-
         # Both loops are FULLY UNROLLED (static trip counts: tile_m x
         # r_count): fori_loop carries serialize the accumulator chain and
         # block Mosaic's software pipelining — unrolling measured 0.41 ->
         # 0.23 ms/call at real dims (BENCH.md r2 ablation).
         for m in range(tile_m):
-            row = tile * tile_m + m
-            base = row * r_count * 3
-            mbase = row * (r_count + 1)
+            base = m * r_count * 3
+            mbase = m * (r_count + 1)
             acc_c = jnp.zeros((d_clip,), clip_ref.dtype)
             acc_1 = jnp.zeros((d_tr,), tr1_ref.dtype)
             acc_2 = jnp.zeros((d_tr,), tr2_ref.dtype)
             for r in range(r_count):
-                w = mask_ref[mbase + r]
-                acc_c = acc_c + w * clip_ref[idx_ref[base + r * 3], :]
-                acc_1 = acc_1 + w * tr1_ref[idx_ref[base + r * 3 + 1], :]
-                acc_2 = acc_2 + w * tr2_ref[idx_ref[base + r * 3 + 2], :]
-            inv = mask_ref[mbase + r_count]  # precomputed 1/divider
+                w = mask_ref[0, mbase + r]
+                acc_c = acc_c + w * clip_ref[idx_ref[0, base + r * 3], :]
+                acc_1 = acc_1 + w * tr1_ref[idx_ref[0, base + r * 3 + 1], :]
+                acc_2 = acc_2 + w * tr2_ref[idx_ref[0, base + r * 3 + 2], :]
+            inv = mask_ref[0, mbase + r_count]  # precomputed 1/divider
             out_ref[m, :d_clip] = jnp.tanh(acc_c * inv)
             out_ref[m, d_clip : d_clip + d_tr] = jnp.tanh(acc_1 * inv)
             out_ref[m, d_clip + d_tr :] = jnp.tanh(acc_2 * inv)
@@ -168,17 +168,29 @@ def _fused_pallas_call(clip, tr1, tr2, idx, mask, guard_zero,
     packed_mask = jnp.concatenate(
         [mask.astype(clip.dtype), (1.0 / divider).astype(clip.dtype)], axis=1
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # idx, mask+divider
+    # per-tile SMEM blocks (NOT whole-array scalar prefetch): each grid
+    # step only holds its tile_m rows' indices/mask in SMEM, so SMEM use
+    # is O(tile_m*R) regardless of batch size — no B=256 cliff
+    idx_tiled = idx.reshape(M // tile_m, tile_m * R * 3)
+    mask_tiled = packed_mask.reshape(M // tile_m, tile_m * (R + 1))
+    grid_spec = pl.GridSpec(
         grid=(M // tile_m,),
         in_specs=[
+            pl.BlockSpec(
+                (1, tile_m * R * 3), lambda i: (i, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_m * (R + 1)), lambda i: (i, 0),
+                memory_space=pltpu.SMEM,
+            ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # clip table
             pl.BlockSpec(memory_space=pltpu.VMEM),  # tr1 table
             pl.BlockSpec(memory_space=pltpu.VMEM),  # tr2 table
         ],
         out_specs=pl.BlockSpec(
             (tile_m, d_clip + 2 * d_tr),
-            lambda i, *_: (i, 0),
+            lambda i: (i, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -187,7 +199,7 @@ def _fused_pallas_call(clip, tr1, tr2, idx, mask, guard_zero,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M, d_clip + 2 * d_tr), clip.dtype),
         interpret=interpret,
-    )(idx.reshape(-1), packed_mask.reshape(-1), clip, tr1, tr2)
+    )(idx_tiled, mask_tiled, clip, tr1, tr2)
 
 
 def fused_ctx_pool(
@@ -249,8 +261,11 @@ def fused_ctx_pool(
         and (
             emb.clip.size + emb.tr1.size + emb.tr2.size
         ) * emb.clip.dtype.itemsize < 96 * 1024 * 1024
-        # scalar-prefetched idx + mask live whole in SMEM (1 MiB)
-        and (M * R * 3 + M * (R + 1)) * 4 < 900 * 1024
+        # idx + mask are per-tile SMEM blocks (r4): only ONE tile's rows
+        # are SMEM-resident per grid step — batch size no longer gates
+        # the kernel (the r3 whole-array scalar prefetch cliffed at
+        # B=256: 123.6k -> 52.8k clips/sec, BENCH.md)
+        and tile_m * (R * 3 + R + 1) * 4 < 900 * 1024
     )
     if force in ("interpret", "pallas") and not ok:
         raise ValueError(

@@ -212,6 +212,19 @@ def train(
     o, t = cfg.optim, cfg.tasks
     params = params if params is not None else bundle.params
     tx = make_optimizer(o.lr, o.weight_decay)
+    if jax.process_count() > 1 and mesh is None and not dense:
+        # multi-process without an explicit mesh: auto-build a data-only
+        # mesh over all global devices so the one-dispatch epoch sweep
+        # stays available (r3 silently degraded to the per-batch loop
+        # here — ~5x epoch wall-clock through a tunneled chip, BENCH.md)
+        from lirec_tpu.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh(shape=(jax.device_count(), 1))
+        if verbose and jax.process_index() == 0:
+            print(
+                "multi-process run without --mesh: using data-only mesh "
+                "{'data': %d, 'model': 1}" % jax.device_count()
+            )
     if tables is None and not dense:
         tables = train_dataset.tables.as_dict()
     if tables is not None and mesh is None:
@@ -485,4 +498,5 @@ def train(
         "saver": saver,
         "losses": losses,
         "final_path": final_path,
+        "epoch_sweep_used": bool(use_sweep),
     }

@@ -18,6 +18,9 @@ def main():
     out_path = sys.argv[3]
     synth_root = sys.argv[4]
     store = sys.argv[5]
+    # optional 6th arg: mesh spec, or "auto" to omit --mesh entirely (the
+    # CLI then auto-builds a data-only mesh; tests/test_multiprocess.py)
+    mesh = sys.argv[6] if len(sys.argv) > 6 else "4x2"
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
@@ -32,16 +35,16 @@ def main():
         "--train", "--epochs", "2", "--batch-size", "8", "--quiet",
         "--text-dim", "16", "--visual-dim", "32", "--text-layers", "4",
         "--joint-dim", "16", "--compute-dtype", "float32",
-        "--mesh", "4x2",
         "--coordinator", "localhost:%s" % port,
         "--num-processes", "2", "--process-id", str(pid),
-    ])
+    ] + ([] if mesh == "auto" else ["--mesh", mesh]))
     with open(out_path, "w") as f:
         json.dump(
             {
                 "pid": pid,
                 "device_count": jax.device_count(),
                 "losses": out["train"]["losses"],
+                "epoch_sweep_used": out["train"].get("epoch_sweep_used"),
             },
             f,
         )

@@ -32,8 +32,12 @@ def log(msg):
 
 def measure_modes(modes, batch: int = 64, iters: int = 120, reps: int = 5,
                   compute_dtype: str = "bfloat16",
-                  strict_prng: bool = False):
-    """Slope-time the requested modes; returns {mode: ms_per_step}.
+                  strict_prng: bool = False, detailed: bool = False):
+    """Slope-time the requested modes; returns {mode: ms_per_step}, the
+    ms being the MEDIAN over positive slope reps (never the best rep —
+    the r2 "Adam 1.8 ms" retraction came from a best-case readout).
+    With ``detailed``, returns {mode: {"ms", "reps_ms", "spread_ms",
+    "compile_s"}} so callers can publish the spread.
 
     Importable (bench.py uses it for the train_ms_per_step headline)."""
     import jax
@@ -164,7 +168,15 @@ def measure_modes(modes, batch: int = 64, iters: int = 120, reps: int = 5,
         # over the positive slopes only
         ok = sorted(p for p in per if p > 0) or sorted(per)
         ms = ok[len(ok) // 2] * 1000
-        results[mode] = ms
+        if detailed:
+            results[mode] = {
+                "ms": ms,
+                "reps_ms": [round(p * 1000, 3) for p in per],
+                "spread_ms": round((ok[-1] - ok[0]) * 1000, 3),
+                "compile_s": round(compile_s, 1),
+            }
+        else:
+            results[mode] = ms
         log(
             "%-11s %7.3f ms/step  (%5.0f clips/s, compile %.1fs, "
             "reps %s)"
