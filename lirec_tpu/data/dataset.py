@@ -839,8 +839,12 @@ class InteractionDataset:
         The plan assembles whole epochs bitwise-identically to this
         class's per-sample path at ~100x the speed (see data/plan.py);
         invalidated if the label chooser is swapped after building."""
+        import os
+
         from lirec_tpu.data import plan as plan_lib
 
+        if os.environ.get("LIREC_TPU_NO_PLAN"):
+            return None
         cached = getattr(self, "_assembly_plan", None)
         if cached is not None and cached[0] is self.label_chooser:
             return cached[1]
@@ -866,12 +870,18 @@ class InteractionDataset:
             cache = False  # an explicit RNG always means fresh draws
         if cache and getattr(self, "_materialized", None) is not None:
             return self._materialized
-        from lirec_tpu.data.pipeline import collate
-
         rng = rng or np.random.default_rng((self.cfg.optim.seed, 0x5A11))
-        batch = collate(
-            [self.__getitem__(i, rng) for i in range(len(self))]
-        )
+        plan = self.assembly_plan() if not self.test_rels_multi_clip else None
+        if plan is not None:
+            # bitwise-identical shared-rng plan path (data/plan.py) —
+            # static samples consume no draws either way
+            batch = plan.assemble_with_rng(np.arange(len(self)), rng)
+        else:
+            from lirec_tpu.data.pipeline import collate
+
+            batch = collate(
+                [self.__getitem__(i, rng) for i in range(len(self))]
+            )
         if cache and self.mode != "train":
             self._materialized = batch
         return batch

@@ -143,12 +143,37 @@ class AssemblyPlan:
             self.last_engine = "numpy"
         return out
 
+    def assemble_with_rng(
+        self, order: np.ndarray, rng: np.random.Generator
+    ) -> Dict[str, np.ndarray]:
+        """Shared-generator assembly: bitwise-identical to
+        ``collate([ds[i, rng] for i in order])`` — the `materialize()`
+        contract, where ONE generator chains through samples in order
+        (static samples consume no draws, so only dynamic ones step it)."""
+        order = np.asarray(order, dtype=np.int64)
+        out = {k: v[order] for k, v in self.static.items()}
+        dyn = [
+            (pos, int(i))
+            for pos, i in enumerate(order)
+            if int(i) in self.programs
+        ]
+        if dyn:
+            flat = [
+                out[k].reshape(len(order), -1) if k in out else None
+                for k in PATCH_ARRAYS
+            ]
+            self._run_numpy(flat, dyn, None, None, shared_rng=rng)
+            self.last_engine = "numpy-chained"
+        else:
+            self.last_engine = "static"
+        return out
+
     # -- numpy executor ----------------------------------------------------
 
-    def _run_numpy(self, flat, dyn, seed, epoch) -> None:
+    def _run_numpy(self, flat, dyn, seed, epoch, shared_rng=None) -> None:
         pool = self.pool
         for pos, i in dyn:
-            rng = np.random.default_rng((seed, epoch, i))
+            rng = shared_rng or np.random.default_rng((seed, epoch, i))
             for site in self.programs[i]:
                 k = int(rng.integers(site.L)) if site.L > 1 else 0
                 choice_len, ops = site.outcomes[k]

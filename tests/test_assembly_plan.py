@@ -202,3 +202,29 @@ def test_train_loop_uses_plan(dense_root):
     finally:
         del os.environ["LIREC_TPU_NO_PLAN"]
     np.testing.assert_allclose(out_fast["losses"], out_slow["losses"])
+
+
+def test_materialize_plan_path_bitwise(dense_root):
+    """`materialize()` (the eval-split contract: ONE shared generator
+    chained through samples) must be bitwise-identical through the plan."""
+    import os
+
+    _, ds = _dataset(dense_root, "int_rel_ch", "val")
+    got = ds.materialize(cache=False)
+    assert ds.assembly_plan().last_engine in ("numpy-chained", "static")
+    os.environ["LIREC_TPU_NO_PLAN"] = "1"
+    try:
+        # the per-sample reference path (plan bypassed inside materialize
+        # is keyed off assembly_plan(), so force it by clearing the cache)
+        ds._assembly_plan = (ds.label_chooser, None)
+        ref = ds.materialize(cache=False)
+    finally:
+        del os.environ["LIREC_TPU_NO_PLAN"]
+        del ds._assembly_plan
+    _assert_tree_equal(ref, got)
+    # train-mode materialize with an explicit rng too
+    _, tds = _dataset(dense_root, "int_rel_ch", "train")
+    got = tds.materialize(rng=np.random.default_rng(99))
+    tds._assembly_plan = (tds.label_chooser, None)
+    ref = tds.materialize(rng=np.random.default_rng(99))
+    _assert_tree_equal(ref, got)
