@@ -210,10 +210,11 @@ def bench_e2e_eval(batch_size: int, compute_dtype: str,
     log("compile+first run: %.1fs" % compile_s)
 
     per_batch = []
+    base_short = max(N_BATCHES // 4, 4)
     for rep in range(3):
-        t_short, _ = run(40 + 2 * rep + 1)
-        t_long, out = run(N_BATCHES - 2 * rep)
-        n_short, n_long = 40 + 2 * rep + 1, N_BATCHES - 2 * rep
+        n_short, n_long = base_short + 2 * rep + 1, N_BATCHES - 2 * rep
+        t_short, _ = run(n_short)
+        t_long, out = run(n_long)
         per_batch.append((t_long - t_short) / (n_long - n_short))
         log(
             "e2e rep %d: %d batches %.3fs, %d batches %.3fs -> %.2f ms/batch"

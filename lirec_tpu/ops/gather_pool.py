@@ -119,13 +119,13 @@ def _make_fused_kernel(r_count: int, d_clip: int, d_tr: int,
     def _kernel(idx_ref, mask_ref, clip_ref, tr1_ref, tr2_ref, out_ref):
         """One grid step computes TILE_M fused tanh(pooled-concat) rows.
 
-        idx_ref:  SMEM [1, TILE_M*R*3] per-tile index triples (blocked —
+        idx_ref:  SMEM [1, 1, TILE_M*R*3] per-tile index triples (blocked —
                   r4: the r2/r3 version scalar-prefetched ALL M*R*3
                   indices into SMEM, whose 1 MiB capacity gated the kernel
                   off above M*73*4 bytes ~ B=192 at R=18: the B=256 eval
                   throughput silently HALVED. Per-tile SMEM blocks remove
                   the M term from the residency requirement entirely.)
-        mask_ref: SMEM [1, TILE_M*(R+1)]: per row, R mask scalars + 1/div
+        mask_ref: SMEM [1, 1, TILE_M*(R+1)]: per row, R mask + 1/div
         clip_ref: VMEM [Nc, d_clip]; tr1/tr2_ref: VMEM [Nt, d_tr]
         out_ref:  VMEM [TILE_M, d_clip + 2*d_tr]
         """
@@ -140,11 +140,11 @@ def _make_fused_kernel(r_count: int, d_clip: int, d_tr: int,
             acc_1 = jnp.zeros((d_tr,), tr1_ref.dtype)
             acc_2 = jnp.zeros((d_tr,), tr2_ref.dtype)
             for r in range(r_count):
-                w = mask_ref[0, mbase + r]
-                acc_c = acc_c + w * clip_ref[idx_ref[0, base + r * 3], :]
-                acc_1 = acc_1 + w * tr1_ref[idx_ref[0, base + r * 3 + 1], :]
-                acc_2 = acc_2 + w * tr2_ref[idx_ref[0, base + r * 3 + 2], :]
-            inv = mask_ref[0, mbase + r_count]  # precomputed 1/divider
+                w = mask_ref[0, 0, mbase + r]
+                acc_c = acc_c + w * clip_ref[idx_ref[0, 0, base + r * 3], :]
+                acc_1 = acc_1 + w * tr1_ref[idx_ref[0, 0, base + r * 3 + 1], :]
+                acc_2 = acc_2 + w * tr2_ref[idx_ref[0, 0, base + r * 3 + 2], :]
+            inv = mask_ref[0, 0, mbase + r_count]  # precomputed 1/divider
             out_ref[m, :d_clip] = jnp.tanh(acc_c * inv)
             out_ref[m, d_clip : d_clip + d_tr] = jnp.tanh(acc_1 * inv)
             out_ref[m, d_clip + d_tr :] = jnp.tanh(acc_2 * inv)
@@ -171,17 +171,20 @@ def _fused_pallas_call(clip, tr1, tr2, idx, mask, guard_zero,
     # per-tile SMEM blocks (NOT whole-array scalar prefetch): each grid
     # step only holds its tile_m rows' indices/mask in SMEM, so SMEM use
     # is O(tile_m*R) regardless of batch size — no B=256 cliff
-    idx_tiled = idx.reshape(M // tile_m, tile_m * R * 3)
-    mask_tiled = packed_mask.reshape(M // tile_m, tile_m * (R + 1))
+    # 3-D [n_tiles, 1, L] with (1, 1, L) blocks: the TPU lowering
+    # requires a block's last two dims to divide (8, 128) or EQUAL the
+    # array dims — (1, L) blocks over [n_tiles, L] are rejected
+    idx_tiled = idx.reshape(M // tile_m, 1, tile_m * R * 3)
+    mask_tiled = packed_mask.reshape(M // tile_m, 1, tile_m * (R + 1))
     grid_spec = pl.GridSpec(
         grid=(M // tile_m,),
         in_specs=[
             pl.BlockSpec(
-                (1, tile_m * R * 3), lambda i: (i, 0),
+                (1, 1, tile_m * R * 3), lambda i: (i, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, tile_m * (R + 1)), lambda i: (i, 0),
+                (1, 1, tile_m * (R + 1)), lambda i: (i, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # clip table
