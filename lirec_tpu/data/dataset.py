@@ -831,6 +831,14 @@ class InteractionDataset:
             sf_idx += 1
         output["soft_labels"] = soft_labels
 
+    def __getstate__(self):
+        # the assembly plan and materialized split are large rebuildable
+        # caches — don't ship them into spawned assembly workers
+        state = dict(self.__dict__)
+        state.pop("_assembly_plan", None)
+        state.pop("_materialized", None)
+        return state
+
     # -- precompiled epoch assembly ----------------------------------------
 
     def assembly_plan(self):

@@ -6,8 +6,9 @@ This is the hot access pattern of the embed-then-gather eval path
 (models/tabular.py): each (sample, hypothesis) pools up to 18 context-clip
 embeddings. XLA lowers the equivalent ``table[idx]`` gather through HBM; the
 kernel instead keeps the (small, deduplicated) embedding table resident in
-VMEM and walks it with dynamic slices, with indices scalar-prefetched into
-SMEM (pallas_guide: PrefetchScalarGridSpec).
+VMEM and walks it with dynamic slices; indices live in SMEM — per-tile
+SMEM blocks for the fused kernel (batch-size independent, r4), whole-array
+scalar prefetch (PrefetchScalarGridSpec) for the single-table variant.
 
 `gather_masked_sum` dispatches to the kernel on TPU and to a pure-jnp
 fallback elsewhere (or when shapes don't meet the tiling constraints).
