@@ -206,6 +206,138 @@ def _fused_pallas_call(clip, tr1, tr2, idx, mask, guard_zero,
     )(idx_tiled, mask_tiled, clip, tr1, tr2)
 
 
+def _make_fused_hbm_kernel(r_count: int, d_clip: int, d_tr: int,
+                           tile_m: int):
+    def _kernel(idx_ref, mask_ref, clip_ref, tr1_ref, tr2_ref, out_ref,
+                clip_buf, tr1_buf, tr2_buf, sem_c, sem_1, sem_2):
+        """HBM-streaming tier: tables too big for VMEM residency.
+
+        The VMEM tier (above) keeps all three tables resident, which gates
+        it off at real-split cardinality (12k clip rows / 24k track rows =
+        96 MB; the r4 stress bench measured the XLA fallback at 1.41
+        ms/batch vs ~0.17 ms HBM roofline). Here the tables stay in HBM
+        (`pltpu.ANY`) and each grid step DMAs exactly the rows it gathers
+        into VMEM scratch: issue ALL tile_m*R row copies up front (three
+        tables' worth in flight at once), then wait each in issue order
+        while accumulating — later copies overlap earlier rows' math.
+
+        Single-row slices of a 2-D array violate Mosaic's (8, 128) tiling
+        ("Slice shape along dimension 0 must be aligned to tiling (8)"),
+        so tables, scratch, and output all carry the row's subtiles as
+        their LAST TWO dims — [*, d/128, 128] — leaving the gathered/
+        sliced axis untiled. The caller reshapes in XLA on both sides.
+
+        idx_ref:  SMEM [1, 1, tile_m*R*3]; mask_ref: SMEM [1,1,tile_m*(R+1)]
+        clip_ref: ANY [Nc, d_clip/128, 128]; tr1/tr2: ANY [Nt, d_tr/128, 128]
+        out_ref:  VMEM [tile_m, (d_clip+2*d_tr)/128, 128]
+        bufs:     VMEM [tile_m*R, d/128, 128]; sems: DMA((tile_m*R,)) each
+        """
+        from jax.experimental.pallas import tpu as pltpu
+
+        sc, st = d_clip // 128, d_tr // 128
+        dmas = []
+        for m in range(tile_m):
+            for r in range(r_count):
+                slot = m * r_count + r
+                base = m * r_count * 3 + r * 3
+                row = []
+                for (tab, buf, sem, col) in (
+                    (clip_ref, clip_buf, sem_c, 0),
+                    (tr1_ref, tr1_buf, sem_1, 1),
+                    (tr2_ref, tr2_buf, sem_2, 2),
+                ):
+                    dma = pltpu.make_async_copy(
+                        tab.at[idx_ref[0, 0, base + col]],
+                        buf.at[slot],
+                        sem.at[slot],
+                    )
+                    dma.start()
+                    row.append(dma)
+                dmas.append(row)
+        for m in range(tile_m):
+            mbase = m * (r_count + 1)
+            acc_c = jnp.zeros((sc, 128), jnp.float32)
+            acc_1 = jnp.zeros((st, 128), jnp.float32)
+            acc_2 = jnp.zeros((st, 128), jnp.float32)
+            for r in range(r_count):
+                slot = m * r_count + r
+                w = mask_ref[0, 0, mbase + r]
+                for dma in dmas[slot]:
+                    dma.wait()
+                acc_c = acc_c + w * clip_buf[slot]
+                acc_1 = acc_1 + w * tr1_buf[slot]
+                acc_2 = acc_2 + w * tr2_buf[slot]
+            inv = mask_ref[0, 0, mbase + r_count]
+            out_ref[m, :sc] = jnp.tanh(acc_c * inv)
+            out_ref[m, sc : sc + st] = jnp.tanh(acc_1 * inv)
+            out_ref[m, sc + st :] = jnp.tanh(acc_2 * inv)
+
+    return _kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("guard_zero", "interpret", "tile_m")
+)
+def _fused_hbm_pallas_call(clip, tr1, tr2, idx, mask, guard_zero,
+                           interpret=False, tile_m=TILE_M):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, R, _ = idx.shape
+    d_clip, d_tr = clip.shape[1], tr1.shape[1]
+    divider = mask.sum(axis=-1, keepdims=True)
+    if guard_zero:
+        divider = jnp.where(divider == 0, 1.0, divider)
+    packed_mask = jnp.concatenate(
+        [mask.astype(clip.dtype), (1.0 / divider).astype(clip.dtype)], axis=1
+    )
+    idx_tiled = idx.reshape(M // tile_m, 1, tile_m * R * 3)
+    mask_tiled = packed_mask.reshape(M // tile_m, 1, tile_m * (R + 1))
+    n_slots = tile_m * R
+    sc, st = d_clip // 128, d_tr // 128
+    # subtile the row dim out of Mosaic's tiled last-two dims (see kernel
+    # docstring); these reshapes are loop-invariant in the eval sweep and
+    # hoist out of the fori_loop
+    clip3 = clip.reshape(clip.shape[0], sc, 128)
+    tr1_3 = tr1.reshape(tr1.shape[0], st, 128)
+    tr2_3 = tr2.reshape(tr2.shape[0], st, 128)
+    out3 = pl.pallas_call(
+        _make_fused_hbm_kernel(R, d_clip, d_tr, tile_m),
+        grid=(M // tile_m,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, tile_m * R * 3), lambda i: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, tile_m * (R + 1)), lambda i: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # clip table (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # tr1 table (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # tr2 table (HBM)
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_m, sc + 2 * st, 128),
+            lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (M, sc + 2 * st, 128), clip.dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_slots, sc, 128), clip.dtype),
+            pltpu.VMEM((n_slots, st, 128), tr1.dtype),
+            pltpu.VMEM((n_slots, st, 128), tr2.dtype),
+            pltpu.SemaphoreType.DMA((n_slots,)),
+            pltpu.SemaphoreType.DMA((n_slots,)),
+            pltpu.SemaphoreType.DMA((n_slots,)),
+        ],
+        interpret=interpret,
+    )(idx_tiled, mask_tiled, clip3, tr1_3, tr2_3)
+    return out3.reshape(M, d_clip + 2 * d_tr)
+
+
 def fused_ctx_pool(
     emb,
     idx: jnp.ndarray,
@@ -219,7 +351,14 @@ def fused_ctx_pool(
     fusion/overlap and the full program regressed; see BENCH.md ablations).
 
     emb: models/tabular.EmbeddedTables; idx: [M, R, 3]; mask: [M, R] float.
-    force: 'auto' | 'pallas' | 'reference' | 'interpret'
+    force: 'auto' | 'pallas' | 'pallas-hbm' | 'reference' | 'interpret'
+           | 'interpret-hbm'
+
+    Two pallas tiers: 'pallas' keeps the three tables VMEM-resident
+    (fastest; toy/medium cardinality), 'pallas-hbm' streams gathered rows
+    from HBM via per-row async DMA (real-split cardinality, where the
+    tables exceed the VMEM budget and r1-r4 used to silently fall back to
+    the 3x-slower XLA gather graph).
     """
     idx = jnp.asarray(idx, jnp.int32)
     mask = jnp.asarray(mask)
@@ -251,7 +390,7 @@ def fused_ctx_pool(
         _record_dispatch("fused_ctx_pool", "reference", "forced", shapes)
         return reference()
     M, R = idx.shape[0], idx.shape[1]
-    ok = (
+    ok_common = (
         M % tile_m == 0
         # SMEM scalar reads are 32-bit; accumulate in f32 (the model's
         # embed_tables always emits f32 — preferred_element_type — but
@@ -261,15 +400,21 @@ def fused_ctx_pool(
         and emb.tr2.dtype == jnp.float32
         and emb.clip.shape[1] % 128 == 0
         and emb.tr1.shape[1] % 128 == 0
-        # v5e VMEM is 128 MiB; leave room for output tiles + pipelining
-        and (
-            emb.clip.size + emb.tr1.size + emb.tr2.size
-        ) * emb.clip.dtype.itemsize < 96 * 1024 * 1024
         # idx + mask are per-tile SMEM blocks (r4): only ONE tile's rows
         # are SMEM-resident per grid step — batch size no longer gates
         # the kernel (the r3 whole-array scalar prefetch cliffed at
         # B=256: 123.6k -> 52.8k clips/sec, BENCH.md)
         and tile_m * (R * 3 + R + 1) * 4 < 900 * 1024
+    )
+    # v5e VMEM is 128 MiB; leave room for output tiles + pipelining
+    tables_fit_vmem = (
+        emb.clip.size + emb.tr1.size + emb.tr2.size
+    ) * emb.clip.dtype.itemsize < 96 * 1024 * 1024
+    ok = ok_common and tables_fit_vmem
+    # the HBM tier's VMEM use is only the per-tile row scratch
+    ok_hbm = ok_common and (
+        tile_m * R * (emb.clip.shape[1] + 2 * emb.tr1.shape[1])
+        * emb.clip.dtype.itemsize < 8 * 1024 * 1024
     )
     if force in ("interpret", "pallas") and not ok:
         raise ValueError(
@@ -277,8 +422,19 @@ def fused_ctx_pool(
             "tables resident in VMEM; got clip %s tr %s idx %s"
             % (tile_m, emb.clip.shape, emb.tr1.shape, idx.shape)
         )
+    if force in ("interpret-hbm", "pallas-hbm") and not ok_hbm:
+        raise ValueError(
+            "fused_ctx_pool HBM tier needs M %% %d == 0, dims %% 128 == 0 "
+            "and per-tile scratch < 8 MB; got clip %s tr %s idx %s"
+            % (tile_m, emb.clip.shape, emb.tr1.shape, idx.shape)
+        )
     if force == "interpret":
         return _fused_pallas_call(
+            emb.clip, emb.tr1, emb.tr2, idx, mask, guard_zero_divide,
+            interpret=True, tile_m=tile_m,
+        )
+    if force == "interpret-hbm":
+        return _fused_hbm_pallas_call(
             emb.clip, emb.tr1, emb.tr2, idx, mask, guard_zero_divide,
             interpret=True, tile_m=tile_m,
         )
@@ -289,6 +445,19 @@ def fused_ctx_pool(
             "forced" if force == "pallas" else "auto", shapes,
         )
         return _fused_pallas_call(
+            emb.clip, emb.tr1, emb.tr2, idx, mask, guard_zero_divide,
+            tile_m=tile_m,
+        )
+    if force == "pallas-hbm" or (force == "auto" and on_tpu and ok_hbm):
+        _record_dispatch(
+            "fused_ctx_pool", "pallas-hbm",
+            "forced" if force == "pallas-hbm"
+            else ("auto: tables %.1f MB exceed the VMEM budget"
+                  % ((emb.clip.size + emb.tr1.size + emb.tr2.size)
+                     * emb.clip.dtype.itemsize / 2**20)),
+            shapes,
+        )
+        return _fused_hbm_pallas_call(
             emb.clip, emb.tr1, emb.tr2, idx, mask, guard_zero_divide,
             tile_m=tile_m,
         )

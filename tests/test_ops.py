@@ -69,6 +69,31 @@ def test_fused_ctx_pool_interpret(guard, tile_m):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.parametrize("guard", [True, False])
+def test_fused_ctx_pool_hbm_interpret(guard):
+    """The HBM-streaming tier (tables in ANY memory, per-row async DMA
+    gathers into VMEM scratch) vs the jnp reference — the tier auto
+    dispatch picks at real-split cardinality where tables exceed VMEM."""
+    from lirec_tpu.ops.gather_pool import fused_ctx_pool
+
+    emb, idx, mask = _fused_inputs(zero_row=guard, seed=5)
+    ref = fused_ctx_pool(emb, idx, mask, guard, force="reference")
+    out = fused_ctx_pool(emb, idx, mask, guard, force="interpret-hbm")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_ctx_pool_hbm_gate():
+    """Oversize per-tile scratch must raise on force, not silently fall
+    back (the r1 silent-disable failure class)."""
+    from lirec_tpu.ops.gather_pool import fused_ctx_pool
+
+    # tile_m=256 -> per-tile row scratch 256*18*(1024+512)*4 = 28 MB > 8 MB
+    emb, idx, mask = _fused_inputs(M=256, R=18, Dc=1024, Dt=256)
+    with pytest.raises(ValueError):
+        fused_ctx_pool(emb, idx, mask, True, force="pallas-hbm",
+                       tile_m=256)
+
+
 def test_fused_ctx_pool_matches_model_path():
     """auto dispatch on CPU (reference) must equal the model's jnp ctx
     branch — the values the parity suite is golden against."""

@@ -66,6 +66,35 @@ def main() -> int:
     print("fused_ctx_pool ok at real dims: out %s, max |diff| %.2e"
           % (kern.shape, float(np.abs(kern - ref).max())))
 
+    # HBM-streaming tier at REAL-SPLIT cardinality (tables > VMEM budget:
+    # 12288*1024 + 2*24576*256 f32 = 96 MB) — the tier the r4 stress bench
+    # showed falling back to the 3x-slower XLA gather graph
+    big_emb = EmbeddedTables(
+        clip=randn(12288, 2 * joint),
+        tr1=randn(24576, joint // 2),
+        tr2=randn(24576, joint // 2),
+    )
+    big_idx = jnp.asarray(
+        rng.integers(
+            0, [12288, 24576, 24576], size=(M, R, 3)
+        ).astype(np.int32)
+    )
+    kern_h = np.asarray(
+        fused_ctx_pool(big_emb, big_idx, mask, guard_zero_divide=True,
+                       force="pallas-hbm")
+    )
+    ref_h = np.asarray(
+        fused_ctx_pool(big_emb, big_idx, mask, guard_zero_divide=True,
+                       force="reference")
+    )
+    np.testing.assert_allclose(
+        kern_h, ref_h, rtol=2e-5, atol=2e-6,
+        err_msg="fused_ctx_pool HBM tier on-chip mismatch",
+    )
+    print("fused_ctx_pool HBM tier ok at real-split dims: out %s, "
+          "max |diff| %.2e"
+          % (kern_h.shape, float(np.abs(kern_h - ref_h).max())))
+
     table = randn(n_clips, 2 * joint)
     idx2 = jnp.asarray(
         rng.integers(0, n_clips, size=(M, R)).astype(np.int32)

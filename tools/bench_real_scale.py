@@ -115,8 +115,12 @@ def _train_at_scale(args):
     o = cfg.optim
     tx = optim_lib.make_optimizer(o.lr, o.weight_decay)
 
+    # NB: `tables` must be an ARGUMENT, not a closure capture — closed-over
+    # arrays are baked into the HLO as literal constants, and at stress
+    # cardinality the axon remote-compile request then exceeds the
+    # tunnel's body limit (HTTP 413).
     @jax.jit
-    def sweep(params, opt_state, stacked, n):
+    def sweep(params, opt_state, stacked, tables, n):
         def body(i, carry):
             params, opt_state, fold = carry
             batch = jax.tree.map(lambda a: a[i % 4], stacked)
@@ -148,7 +152,7 @@ def _train_at_scale(args):
 
     def timed(n):
         t0 = time.time()
-        out = sweep(params, opt_state, stacked, jnp.int32(n))
+        out = sweep(params, opt_state, stacked, tables, jnp.int32(n))
         float(out[2])
         return time.time() - t0
 
