@@ -230,17 +230,24 @@ def _make_fused_hbm_kernel(r_count: int, d_clip: int, d_tr: int,
         idx_ref:  SMEM [1, 1, tile_m*R*3]; mask_ref: SMEM [1,1,tile_m*(R+1)]
         clip_ref: ANY [Nc, d_clip/128, 128]; tr1/tr2: ANY [Nt, d_tr/128, 128]
         out_ref:  VMEM [tile_m, (d_clip+2*d_tr)/128, 128]
-        bufs:     VMEM [tile_m*R, d/128, 128]; sems: DMA((tile_m*R,)) each
+        bufs:     VMEM [tile_m*R, d/128, 128]; sems: DMA((tile_m,)) each
+
+        Semaphore budget: sflag space is 2 KB for the WHOLE program — a
+        sem per copy (3*tile_m*R = 432) compiles standalone but OOMs
+        inside the e2e sweep ("Exceeded sflag capacity"). All R copies of
+        one (table, tile-row) share ONE semaphore; a row's R waits are all
+        issued before its buffers are read, so the final wait implies
+        every copy of that row has landed, while rows m+1.. stay in
+        flight. 3*tile_m sems total.
         """
         from jax.experimental.pallas import tpu as pltpu
 
         sc, st = d_clip // 128, d_tr // 128
-        dmas = []
+        dmas = [[] for _ in range(tile_m)]
         for m in range(tile_m):
             for r in range(r_count):
                 slot = m * r_count + r
                 base = m * r_count * 3 + r * 3
-                row = []
                 for (tab, buf, sem, col) in (
                     (clip_ref, clip_buf, sem_c, 0),
                     (tr1_ref, tr1_buf, sem_1, 1),
@@ -249,21 +256,20 @@ def _make_fused_hbm_kernel(r_count: int, d_clip: int, d_tr: int,
                     dma = pltpu.make_async_copy(
                         tab.at[idx_ref[0, 0, base + col]],
                         buf.at[slot],
-                        sem.at[slot],
+                        sem.at[m],
                     )
                     dma.start()
-                    row.append(dma)
-                dmas.append(row)
+                    dmas[m].append(dma)
         for m in range(tile_m):
             mbase = m * (r_count + 1)
+            for dma in dmas[m]:
+                dma.wait()
             acc_c = jnp.zeros((sc, 128), jnp.float32)
             acc_1 = jnp.zeros((st, 128), jnp.float32)
             acc_2 = jnp.zeros((st, 128), jnp.float32)
             for r in range(r_count):
                 slot = m * r_count + r
                 w = mask_ref[0, 0, mbase + r]
-                for dma in dmas[slot]:
-                    dma.wait()
                 acc_c = acc_c + w * clip_buf[slot]
                 acc_1 = acc_1 + w * tr1_buf[slot]
                 acc_2 = acc_2 + w * tr2_buf[slot]
@@ -329,9 +335,9 @@ def _fused_hbm_pallas_call(clip, tr1, tr2, idx, mask, guard_zero,
             pltpu.VMEM((n_slots, sc, 128), clip.dtype),
             pltpu.VMEM((n_slots, st, 128), tr1.dtype),
             pltpu.VMEM((n_slots, st, 128), tr2.dtype),
-            pltpu.SemaphoreType.DMA((n_slots,)),
-            pltpu.SemaphoreType.DMA((n_slots,)),
-            pltpu.SemaphoreType.DMA((n_slots,)),
+            pltpu.SemaphoreType.DMA((tile_m,)),
+            pltpu.SemaphoreType.DMA((tile_m,)),
+            pltpu.SemaphoreType.DMA((tile_m,)),
         ],
         interpret=interpret,
     )(idx_tiled, mask_tiled, clip3, tr1_3, tr2_3)

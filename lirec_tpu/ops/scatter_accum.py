@@ -338,7 +338,13 @@ def _pallas_call1(idx, g, n_rows, interpret=False, tile_n=8):
 
 
 def _table_fits(n_rows: int, d: int) -> bool:
-    return d % 128 == 0 and n_rows * d * 4 < 48 * 1024 * 1024
+    # the single-table kernel holds ONE f32 accumulator + double-buffered
+    # update tiles (~1 MB); sequential pallas_calls don't share VMEM
+    # lifetimes, so each table may claim most of the 128 MiB. The old
+    # 48 MB gate sent the 50.3 MB real-split clip accumulator — and with
+    # it every table — to XLA's scatter (r4 stress bench:
+    # tiered:xla/xla/xla at n_clips=12288).
+    return d % 128 == 0 and n_rows * d * 4 < 90 * 1024 * 1024
 
 
 def _flat_m(idx3) -> int:

@@ -153,6 +153,23 @@ def main() -> int:
         err_msg="single-table scatter kernel on-chip mismatch",
     )
     print("single-table scatter kernel ok at real dims")
+
+    # real-SPLIT cardinality: the 50.3 MB clip accumulator that the old
+    # 48 MB _table_fits gate bounced to XLA (r4 stress bench)
+    idx_big = jnp.asarray(
+        rng.integers(0, 12288, size=(M, R)).astype(np.int32)
+    )
+    acc_big = np.asarray(_pallas_call1(idx_big, gc, 12288))
+    want_big = np.asarray(
+        jnp.zeros((12288, 2 * joint), jnp.float32)
+        .at[idx_big.reshape(-1)]
+        .add(gc.reshape(-1, 2 * joint).astype(jnp.float32))
+    )
+    np.testing.assert_allclose(
+        acc_big, want_big, rtol=2e-2, atol=2e-1,
+        err_msg="single-table scatter kernel real-split mismatch",
+    )
+    print("single-table scatter kernel ok at real-split rows (50 MB acc)")
     return 0
 
 
