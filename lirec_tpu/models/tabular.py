@@ -96,6 +96,14 @@ def _pooled_ctx(
     idx: [N, R, 3]; mask: [N, R] -> [N, 3*joint]. (The pallas variant —
     ops/gather_pool.fused_ctx_pool — also folds in the divide + tanh.)
     """
+    if emb.clip.dtype == jnp.int32:  # packed-bf16 tables (r4 cast policy)
+        from lirec_tpu.ops.gather_pool import unpack_bf16_table
+
+        emb = EmbeddedTables(
+            clip=unpack_bf16_table(emb.clip),
+            tr1=unpack_bf16_table(emb.tr1),
+            tr2=unpack_bf16_table(emb.tr2),
+        )
     m = mask
     divider = m.sum(axis=-1, keepdims=True)
     if guard_zero_divide:
@@ -177,13 +185,52 @@ def _ctx_branch(
 
 def embed_all(params: Dict, spec, tables: Dict) -> Dict[str, EmbeddedTables]:
     """All branch embeddings of the tables; computed once per eval sweep
-    (params are frozen during eval, so this amortizes across every batch)."""
+    (params are frozen during eval, so this amortizes across every batch).
+
+    r4: on TPU the ctx tables are cast to bf16 when that (and only that)
+    brings them under the fused kernel's VMEM-residency budget
+    (ops/gather_pool.ctx_tables_cast_dtype) — at real-split cardinality
+    the f32 tables are ~101 MB, just over the 96 MB gate, and the HBM-DMA
+    tier they used to fall to is ~2x slower (per-row DMA issue overhead).
+    The cast runs once per sweep, outside the batch loop; the kernel still
+    accumulates in f32.
+    """
     out: Dict[str, EmbeddedTables] = {}
     if spec.ints and not spec.mod_check:
         out["ints"] = embed_tables(params, "ints", tables, spec)
     if spec.ctx:
-        out["ctx"] = embed_tables(params, "ctx", tables, spec)
+        emb = embed_tables(params, "ctx", tables, spec)
+        out["ctx"] = _maybe_cast_ctx(emb)
     return out
+
+
+def _maybe_cast_ctx(emb: EmbeddedTables) -> EmbeddedTables:
+    import os
+
+    if jax.default_backend() != "tpu":
+        return emb  # CPU/GPU: jnp fallback path, keep bit-exact f32
+    if os.environ.get("LIREC_TPU_CTX_FORCE") == "reference":
+        return emb  # kernel forced off: the cast would only hurt numerics
+    if os.environ.get("LIREC_TPU_TABLE_DTYPE", "auto") == "f32":
+        return emb
+    from lirec_tpu.ops.gather_pool import (
+        ctx_tables_cast_dtype,
+        pack_bf16_table,
+    )
+
+    n_f32 = (emb.clip.size + emb.tr1.size + emb.tr2.size) * 4
+    cast = ctx_tables_cast_dtype(n_f32)
+    if cast is None:
+        return emb
+    # bf16 is physically int32-PACKED (Mosaic can't gather dynamic rows
+    # of 16-bit VMEM arrays); the packed halves need D % 256 == 0
+    if emb.clip.shape[1] % 256 or emb.tr1.shape[1] % 256:
+        return emb
+    return EmbeddedTables(
+        clip=pack_bf16_table(emb.clip),
+        tr1=pack_bf16_table(emb.tr1),
+        tr2=pack_bf16_table(emb.tr2),
+    )
 
 
 def midfusion_maxtracks_tabular(

@@ -27,12 +27,68 @@ __all__ = [
     "gather_masked_sum_reference",
     "fused_ctx_pool",
     "last_dispatch",
+    "ctx_tables_cast_dtype",
+    "pack_bf16_table",
+    "unpack_bf16_table",
 ]
 
 TILE_M = 8  # f32 sublane count
 
+# v5e VMEM is 128 MiB; leave room for output tiles + pipelining
+VMEM_TABLE_BUDGET = 96 * 1024 * 1024
+
 from lirec_tpu.ops.dispatch import last_dispatch  # noqa: F401 (re-export)
 from lirec_tpu.ops.dispatch import record as _record_dispatch
+
+
+def ctx_tables_cast_dtype(n_f32_bytes: int):
+    """Table-dtype policy for the fused ctx kernel (r4).
+
+    At real-split cardinality the f32 embedded tables (~101 MB at 12k clip
+    / 24k track rows) just exceed the VMEM-residency budget and eval used
+    to drop to the HBM-DMA tier (~2x slower: per-row DMA issue overhead).
+    Cast to bf16 when — and only when — that cast is what brings the
+    tables back under the budget; accumulation stays f32 inside the
+    kernel, so only the stored h1 activations lose precision (the same
+    trade the train path already makes: BENCH.md r3 'bf16 h1').
+    Returns the dtype to cast to, or None (keep f32).
+
+    NB: "bf16 tables" are physically stored int32-PACKED (pack_bf16_table)
+    — Mosaic cannot gather dynamic single rows of a 16-bit VMEM array
+    (2 rows/sublane tiling: "cannot statically prove that index in
+    dimension 0 is a multiple of 8", measured on v5e), so columns
+    (d, d + D/2) ride one 32-bit word and the kernel unpacks with
+    shift/mask + bitcast (tools/probe_bf16_pack.py: bit-exact vs the
+    bf16 reference on the chip).
+    """
+    if n_f32_bytes < VMEM_TABLE_BUDGET:
+        return None  # f32 tier already fits — keep bit-exact tables
+    if n_f32_bytes // 2 < VMEM_TABLE_BUDGET:
+        return jnp.bfloat16
+    return None  # even bf16 won't fit: the HBM tier handles it
+
+
+def pack_bf16_table(t: jnp.ndarray) -> jnp.ndarray:
+    """f32/bf16 [N, D] -> int32 [N, D/2]: word d = bf16 bits of column d
+    (low 16) | bf16 bits of column d + D/2 (high 16). The halves-based
+    pairing keeps the unpacked column order natural: lo block = columns
+    [0, D/2), hi block = [D/2, D) — no post-permutation anywhere."""
+    b = t.astype(jnp.bfloat16)
+    n, d = b.shape
+    pair = jnp.stack([b[:, : d // 2], b[:, d // 2 :]], axis=-1)
+    return jax.lax.bitcast_convert_type(pair, jnp.int32)
+
+
+def unpack_bf16_table(t: jnp.ndarray) -> jnp.ndarray:
+    """int32 [N, Dh] -> f32 [N, 2*Dh] (inverse of pack_bf16_table,
+    modulo the bf16 rounding already applied at pack time)."""
+    lo = jax.lax.bitcast_convert_type(
+        jax.lax.shift_left(t, 16), jnp.float32
+    )
+    hi = jax.lax.bitcast_convert_type(
+        jax.lax.bitwise_and(t, jnp.int32(-65536)), jnp.float32
+    )
+    return jnp.concatenate([lo, hi], axis=-1)
 
 
 def gather_masked_sum_reference(
@@ -134,21 +190,69 @@ def _make_fused_kernel(r_count: int, d_clip: int, d_tr: int,
         # r_count): fori_loop carries serialize the accumulator chain and
         # block Mosaic's software pipelining — unrolling measured 0.41 ->
         # 0.23 ms/call at real dims (BENCH.md r2 ablation).
+        # f32 accumulation regardless of table dtype (tables may be bf16
+        # under the r4 cast policy — ctx_tables_cast_dtype)
         for m in range(tile_m):
             base = m * r_count * 3
             mbase = m * (r_count + 1)
-            acc_c = jnp.zeros((d_clip,), clip_ref.dtype)
-            acc_1 = jnp.zeros((d_tr,), tr1_ref.dtype)
-            acc_2 = jnp.zeros((d_tr,), tr2_ref.dtype)
+            acc_c = jnp.zeros((d_clip,), jnp.float32)
+            acc_1 = jnp.zeros((d_tr,), jnp.float32)
+            acc_2 = jnp.zeros((d_tr,), jnp.float32)
             for r in range(r_count):
-                w = mask_ref[0, 0, mbase + r]
-                acc_c = acc_c + w * clip_ref[idx_ref[0, 0, base + r * 3], :]
-                acc_1 = acc_1 + w * tr1_ref[idx_ref[0, 0, base + r * 3 + 1], :]
-                acc_2 = acc_2 + w * tr2_ref[idx_ref[0, 0, base + r * 3 + 2], :]
+                w = mask_ref[0, 0, mbase + r]  # f32 SMEM scalar
+                acc_c = acc_c + w * clip_ref[idx_ref[0, 0, base + r * 3], :].astype(jnp.float32)
+                acc_1 = acc_1 + w * tr1_ref[idx_ref[0, 0, base + r * 3 + 1], :].astype(jnp.float32)
+                acc_2 = acc_2 + w * tr2_ref[idx_ref[0, 0, base + r * 3 + 2], :].astype(jnp.float32)
             inv = mask_ref[0, 0, mbase + r_count]  # precomputed 1/divider
             out_ref[m, :d_clip] = jnp.tanh(acc_c * inv)
             out_ref[m, d_clip : d_clip + d_tr] = jnp.tanh(acc_1 * inv)
             out_ref[m, d_clip + d_tr :] = jnp.tanh(acc_2 * inv)
+
+    return _kernel
+
+
+def _make_fused_packed_kernel(r_count: int, d_clip: int, d_tr: int,
+                              tile_m: int = TILE_M):
+    """Packed-bf16 variant: tables are int32 [N, d/2] (pack_bf16_table).
+
+    Dynamic row gathers of 16-bit VMEM arrays are unsupported by Mosaic
+    (2 rows/sublane tiling), so each loaded int32 row carries two bf16
+    columns, unpacked here with shift/mask + bitcast (pure VPU work).
+    d_clip/d_tr are the LOGICAL (unpacked) dims; f32 accumulation per
+    half; output halves land in natural column order by construction.
+    """
+
+    def _kernel(idx_ref, mask_ref, clip_ref, tr1_ref, tr2_ref, out_ref):
+        import jax.lax as lax
+
+        hc, ht = d_clip // 2, d_tr // 2
+
+        def halves(v):
+            return (
+                lax.bitcast_convert_type(lax.shift_left(v, 16), jnp.float32),
+                lax.bitcast_convert_type(
+                    lax.bitwise_and(v, jnp.int32(-65536)), jnp.float32
+                ),
+            )
+
+        for m in range(tile_m):
+            base = m * r_count * 3
+            mbase = m * (r_count + 1)
+            accs = [jnp.zeros((d,), jnp.float32)
+                    for d in (hc, hc, ht, ht, ht, ht)]
+            for r in range(r_count):
+                w = mask_ref[0, 0, mbase + r]
+                for t, (ref, col) in enumerate(
+                    ((clip_ref, 0), (tr1_ref, 1), (tr2_ref, 2))
+                ):
+                    lo, hi = halves(ref[idx_ref[0, 0, base + r * 3 + col], :])
+                    accs[2 * t] = accs[2 * t] + w * lo
+                    accs[2 * t + 1] = accs[2 * t + 1] + w * hi
+            inv = mask_ref[0, 0, mbase + r_count]
+            off = 0
+            for acc, d in zip(accs, (hc, hc, ht, ht, ht, ht)):
+                out_ref[m, off : off + d] = jnp.tanh(acc * inv)
+                off += d
 
     return _kernel
 
@@ -162,12 +266,16 @@ def _fused_pallas_call(clip, tr1, tr2, idx, mask, guard_zero,
     from jax.experimental.pallas import tpu as pltpu
 
     M, R, _ = idx.shape
-    d_clip, d_tr = clip.shape[1], tr1.shape[1]
+    packed = clip.dtype == jnp.int32  # packed-bf16 tables (2 cols/word)
+    d_clip = clip.shape[1] * (2 if packed else 1)
+    d_tr = tr1.shape[1] * (2 if packed else 1)
     divider = mask.sum(axis=-1, keepdims=True)
     if guard_zero:
         divider = jnp.where(divider == 0, 1.0, divider)
+    # mask/div stay f32 in SMEM (32-bit scalar reads) even for bf16 tables
     packed_mask = jnp.concatenate(
-        [mask.astype(clip.dtype), (1.0 / divider).astype(clip.dtype)], axis=1
+        [mask.astype(jnp.float32), (1.0 / divider).astype(jnp.float32)],
+        axis=1,
     )
     # per-tile SMEM blocks (NOT whole-array scalar prefetch): each grid
     # step only holds its tile_m rows' indices/mask in SMEM, so SMEM use
@@ -198,11 +306,24 @@ def _fused_pallas_call(clip, tr1, tr2, idx, mask, guard_zero,
             memory_space=pltpu.VMEM,
         ),
     )
+    make = _make_fused_packed_kernel if packed else _make_fused_kernel
+    kwargs = {}
+    if not interpret:
+        # the VMEM-resident tables exceed the compiler's default 16 MB
+        # scoped-vmem cap at real-split cardinality (48 MiB packed);
+        # raise it — the fused_ctx_pool gate bounds tables at 96 MiB
+        vmem = (clip.size + tr1.size + tr2.size) * 4 \
+            + 4 * tile_m * (d_clip + 2 * d_tr) * 4
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem + 16 * 1024 * 1024,
+                                 112 * 1024 * 1024)
+        )
     return pl.pallas_call(
-        _make_fused_kernel(R, d_clip, d_tr, tile_m),
+        make(R, d_clip, d_tr, tile_m),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((M, d_clip + 2 * d_tr), clip.dtype),
+        out_shape=jax.ShapeDtypeStruct((M, d_clip + 2 * d_tr), jnp.float32),
         interpret=interpret,
+        **kwargs,
     )(idx_tiled, mask_tiled, clip, tr1, tr2)
 
 
@@ -295,7 +416,8 @@ def _fused_hbm_pallas_call(clip, tr1, tr2, idx, mask, guard_zero,
     if guard_zero:
         divider = jnp.where(divider == 0, 1.0, divider)
     packed_mask = jnp.concatenate(
-        [mask.astype(clip.dtype), (1.0 / divider).astype(clip.dtype)], axis=1
+        [mask.astype(jnp.float32), (1.0 / divider).astype(jnp.float32)],
+        axis=1,
     )
     idx_tiled = idx.reshape(M // tile_m, 1, tile_m * R * 3)
     mask_tiled = packed_mask.reshape(M // tile_m, 1, tile_m * (R + 1))
@@ -319,9 +441,9 @@ def _fused_hbm_pallas_call(clip, tr1, tr2, idx, mask, guard_zero,
                 (1, 1, tile_m * (R + 1)), lambda i: (i, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # clip table (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # tr1 table (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # tr2 table (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # clip table (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # tr1 table (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # tr2 table (HBM)
         ],
         out_specs=pl.BlockSpec(
             (tile_m, sc + 2 * st, 128),
@@ -329,7 +451,7 @@ def _fused_hbm_pallas_call(clip, tr1, tr2, idx, mask, guard_zero,
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (M, sc + 2 * st, 128), clip.dtype
+            (M, sc + 2 * st, 128), jnp.float32
         ),
         scratch_shapes=[
             pltpu.VMEM((n_slots, sc, 128), clip.dtype),
@@ -373,7 +495,20 @@ def fused_ctx_pool(
         # in the real-scale stress bench): LIREC_TPU_CTX_FORCE=reference|pallas
         force = os.environ.get("LIREC_TPU_CTX_FORCE", "auto")
 
+    # packed-bf16 tables (pack_bf16_table, the r4 cast policy): int32
+    # physical columns, 2 logical bf16 columns per word
+    packed = emb.clip.dtype == jnp.int32
+
     def reference():
+        e = emb
+        if packed:
+            from lirec_tpu.models.tabular import EmbeddedTables
+
+            e = EmbeddedTables(
+                clip=unpack_bf16_table(emb.clip),
+                tr1=unpack_bf16_table(emb.tr1),
+                tr2=unpack_bf16_table(emb.tr2),
+            )
         divider = mask.sum(axis=-1, keepdims=True)
         if guard_zero_divide:
             divider = jnp.where(divider == 0, 1.0, divider)
@@ -384,13 +519,14 @@ def fused_ctx_pool(
             return (g * w.astype(g.dtype)).sum(axis=-2)
 
         pooled = jnp.concatenate(
-            [pool(emb.clip, 0), pool(emb.tr1, 1), pool(emb.tr2, 2)], axis=-1
+            [pool(e.clip, 0), pool(e.tr1, 1), pool(e.tr2, 2)], axis=-1
         )
         return jnp.tanh(pooled / divider.astype(pooled.dtype))
 
     shapes = dict(
         idx=tuple(idx.shape), clip=tuple(emb.clip.shape),
         tr=tuple(emb.tr1.shape),
+        table_dtype="packed-bf16" if packed else str(emb.clip.dtype),
     )
     if force == "reference":
         _record_dispatch("fused_ctx_pool", "reference", "forced", shapes)
@@ -398,12 +534,13 @@ def fused_ctx_pool(
     M, R = idx.shape[0], idx.shape[1]
     ok_common = (
         M % tile_m == 0
-        # SMEM scalar reads are 32-bit; accumulate in f32 (the model's
-        # embed_tables always emits f32 — preferred_element_type — but
-        # direct callers could pass anything)
-        and emb.clip.dtype == jnp.float32
-        and emb.tr1.dtype == jnp.float32
-        and emb.tr2.dtype == jnp.float32
+        # tables: f32 or packed-bf16 (int32; direct bf16 is NOT lowerable
+        # — Mosaic rejects dynamic single-row gathers of 16-bit VMEM
+        # arrays); mask/div stay f32 in SMEM (32-bit scalar reads) and
+        # all kernels accumulate in f32
+        and emb.clip.dtype in (jnp.float32, jnp.int32)
+        and emb.tr1.dtype == emb.clip.dtype
+        and emb.tr2.dtype == emb.clip.dtype
         and emb.clip.shape[1] % 128 == 0
         and emb.tr1.shape[1] % 128 == 0
         # idx + mask are per-tile SMEM blocks (r4): only ONE tile's rows
@@ -412,13 +549,13 @@ def fused_ctx_pool(
         # B=256: 123.6k -> 52.8k clips/sec, BENCH.md)
         and tile_m * (R * 3 + R + 1) * 4 < 900 * 1024
     )
-    # v5e VMEM is 128 MiB; leave room for output tiles + pipelining
     tables_fit_vmem = (
         emb.clip.size + emb.tr1.size + emb.tr2.size
-    ) * emb.clip.dtype.itemsize < 96 * 1024 * 1024
+    ) * 4 < VMEM_TABLE_BUDGET
     ok = ok_common and tables_fit_vmem
-    # the HBM tier's VMEM use is only the per-tile row scratch
-    ok_hbm = ok_common and (
+    # the HBM tier's VMEM use is only the per-tile row scratch (f32
+    # tables only: the packed tier exists to restore VMEM residency)
+    ok_hbm = ok_common and not packed and (
         tile_m * R * (emb.clip.shape[1] + 2 * emb.tr1.shape[1])
         * emb.clip.dtype.itemsize < 8 * 1024 * 1024
     )

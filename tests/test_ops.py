@@ -108,3 +108,87 @@ def test_fused_ctx_pool_matches_model_path():
     np.testing.assert_allclose(
         np.asarray(via_kernel_api), np.asarray(via_model), atol=1e-6
     )
+
+
+def _packed(emb):
+    from lirec_tpu.models.tabular import EmbeddedTables
+    from lirec_tpu.ops.gather_pool import pack_bf16_table
+
+    return EmbeddedTables(
+        clip=pack_bf16_table(emb.clip),
+        tr1=pack_bf16_table(emb.tr1),
+        tr2=pack_bf16_table(emb.tr2),
+    )
+
+
+def test_pack_unpack_roundtrip():
+    """pack_bf16_table/unpack_bf16_table invert exactly (modulo the bf16
+    rounding applied at pack time) and preserve column order."""
+    import jax.numpy as jnp
+
+    from lirec_tpu.ops.gather_pool import pack_bf16_table, unpack_bf16_table
+
+    rng = np.random.default_rng(11)
+    t = jnp.asarray(rng.standard_normal((32, 256)), jnp.float32)
+    packed = pack_bf16_table(t)
+    assert packed.shape == (32, 128) and packed.dtype == jnp.int32
+    want = np.asarray(t.astype(jnp.bfloat16).astype(jnp.float32))
+    np.testing.assert_array_equal(np.asarray(unpack_bf16_table(packed)), want)
+
+
+def test_fused_ctx_pool_packed_bf16_tables():
+    """r4: the VMEM tier accepts int32-PACKED bf16 tables (the cast policy
+    that keeps real-split tables VMEM-resident; direct bf16 gathers don't
+    lower on Mosaic) — f32 accumulation, f32 output. The kernel must match
+    the reference on the SAME packed tables bit-closely, and the f32
+    reference within bf16 rounding."""
+    from lirec_tpu.ops.gather_pool import fused_ctx_pool
+
+    # packed halves must keep D % 128 lanes -> logical dims % 256
+    # (production dims 1024/256 qualify)
+    emb, idx, mask = _fused_inputs(zero_row=True, seed=7, Dc=512, Dt=256)
+    ref_f32 = fused_ctx_pool(emb, idx, mask, True, force="reference")
+    emb_p = _packed(emb)
+    ref_p = fused_ctx_pool(emb_p, idx, mask, True, force="reference")
+    out = fused_ctx_pool(emb_p, idx, mask, True, force="interpret")
+    assert np.asarray(out).dtype == np.float32
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_p), atol=1e-6)
+    # tanh(pool) lands in [-1, 1]: bf16 table rounding bounds the error
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_f32), atol=3e-2
+    )
+
+
+def test_pooled_ctx_handles_packed_tables():
+    """The jnp model path (meshed tails, context-sharded eval) must accept
+    packed tables too — it unpacks before gathering."""
+    import jax.numpy as jnp
+
+    from lirec_tpu.models.tabular import _pooled_ctx
+    from lirec_tpu.ops.gather_pool import fused_ctx_pool
+
+    emb, idx, mask = _fused_inputs(seed=9)
+    emb_p = _packed(emb)
+    via_model = jnp.tanh(
+        _pooled_ctx(emb_p, idx, mask, guard_zero_divide=True)
+    )
+    via_ref = fused_ctx_pool(emb_p, idx, mask, True, force="reference")
+    np.testing.assert_allclose(
+        np.asarray(via_model), np.asarray(via_ref), atol=1e-6
+    )
+
+
+def test_ctx_tables_cast_policy():
+    """The bf16 cast fires exactly when it is what restores VMEM residency."""
+    import jax.numpy as jnp
+
+    from lirec_tpu.ops.gather_pool import (
+        VMEM_TABLE_BUDGET,
+        ctx_tables_cast_dtype,
+    )
+
+    assert ctx_tables_cast_dtype(VMEM_TABLE_BUDGET - 1) is None  # f32 fits
+    # real-split shape: ~101 MB f32 -> bf16 brings it under the budget
+    assert ctx_tables_cast_dtype(101 * 2**20) == jnp.bfloat16
+    # far beyond bf16 reach -> stay f32, HBM tier handles it
+    assert ctx_tables_cast_dtype(3 * VMEM_TABLE_BUDGET) is None

@@ -95,6 +95,42 @@ def main() -> int:
           "max |diff| %.2e"
           % (kern_h.shape, float(np.abs(kern_h - ref_h).max())))
 
+    # packed-bf16 VMEM tier at the same real-split cardinality (the r4
+    # cast policy: 96 MiB f32 -> 48 MiB packed fits the VMEM budget
+    # again; columns ride int32 words because Mosaic rejects dynamic row
+    # gathers of 16-bit VMEM arrays). f32 accumulation inside the kernel;
+    # compared bit-closely against the packed reference and within bf16
+    # rounding against the f32 reference.
+    from lirec_tpu.ops.gather_pool import pack_bf16_table
+
+    big16 = EmbeddedTables(
+        clip=pack_bf16_table(big_emb.clip),
+        tr1=pack_bf16_table(big_emb.tr1),
+        tr2=pack_bf16_table(big_emb.tr2),
+    )
+    kern_b = np.asarray(
+        fused_ctx_pool(big16, big_idx, mask, guard_zero_divide=True,
+                       force="pallas")
+    )
+    assert kern_b.dtype == np.float32
+    ref_b = np.asarray(
+        fused_ctx_pool(big16, big_idx, mask, guard_zero_divide=True,
+                       force="reference")
+    )
+    np.testing.assert_allclose(
+        kern_b, ref_b, rtol=2e-5, atol=2e-6,
+        err_msg="fused_ctx_pool packed-bf16 tier on-chip mismatch",
+    )
+    np.testing.assert_allclose(
+        kern_b, ref_h, rtol=3e-2, atol=3e-2,
+        err_msg="fused_ctx_pool packed-bf16 tier drifted beyond bf16 "
+                "rounding vs the f32 reference",
+    )
+    print("fused_ctx_pool packed-bf16 VMEM tier ok at real-split dims: "
+          "max |diff| %.2e vs packed ref, %.2e vs f32 ref"
+          % (float(np.abs(kern_b - ref_b).max()),
+             float(np.abs(kern_b - ref_h).max())))
+
     table = randn(n_clips, 2 * joint)
     idx2 = jnp.asarray(
         rng.integers(0, n_clips, size=(M, R)).astype(np.int32)
