@@ -187,44 +187,70 @@ def embed_all(params: Dict, spec, tables: Dict) -> Dict[str, EmbeddedTables]:
     """All branch embeddings of the tables; computed once per eval sweep
     (params are frozen during eval, so this amortizes across every batch).
 
-    r4: on TPU the ctx tables are cast to bf16 when that (and only that)
-    brings them under the fused kernel's VMEM-residency budget
-    (ops/gather_pool.ctx_tables_cast_dtype) — at real-split cardinality
-    the f32 tables are ~101 MB, just over the 96 MB gate, and the HBM-DMA
-    tier they used to fall to is ~2x slower (per-row DMA issue overhead).
-    The cast runs once per sweep, outside the batch loop; the kernel still
-    accumulates in f32.
+    r4: on TPU the ctx tables are stored packed-bf16 (pack_bf16_table)
+    whenever the session's compute dtype is already bf16 — halved table
+    bytes make the fused kernel 30-40% faster at EVERY cardinality
+    (same-session toy ablation 123.2k -> 168.4k clips/sec; real-split
+    59.4k -> 147.6k, BENCH.md) and keep real-split tables VMEM-resident
+    (f32 at 12k/24k rows is 96.0 MiB, just over the 96 MiB budget — eval
+    used to drop to the ~2x-slower HBM-DMA tier). Under f32 compute the
+    cast fires only when it is what restores VMEM residency
+    (ctx_tables_cast_dtype), keeping precision-first sessions f32.
+    The cast runs once per sweep, outside the batch loop; the kernel
+    accumulates f32 in every tier. LIREC_TPU_TABLE_DTYPE=f32|bf16
+    overrides.
     """
     out: Dict[str, EmbeddedTables] = {}
     if spec.ints and not spec.mod_check:
         out["ints"] = embed_tables(params, "ints", tables, spec)
     if spec.ctx:
         emb = embed_tables(params, "ctx", tables, spec)
-        out["ctx"] = _maybe_cast_ctx(emb)
+        out["ctx"] = _maybe_cast_ctx(emb, spec)
     return out
 
 
-def _maybe_cast_ctx(emb: EmbeddedTables) -> EmbeddedTables:
+def ctx_cast_decision(
+    backend: str,
+    mode: str,
+    compute_is_bf16: bool,
+    n_f32_bytes: int,
+    dims_ok: bool,
+    kernel_force: str = "auto",
+):
+    """Pure policy: should the ctx tables be packed-bf16? (unit-tested)"""
+    if backend != "tpu" or not dims_ok:
+        return False  # CPU/GPU jnp path stays bit-exact f32
+    if kernel_force == "reference":
+        return False  # kernel forced off: the cast would only hurt
+    if mode == "f32":
+        return False
+    if mode == "bf16":
+        return True
+    if compute_is_bf16:
+        return True  # perf mode: packed wins at every cardinality
+    from lirec_tpu.ops.gather_pool import ctx_tables_cast_dtype
+
+    return ctx_tables_cast_dtype(n_f32_bytes) is not None
+
+
+def _maybe_cast_ctx(emb: EmbeddedTables, spec) -> EmbeddedTables:
     import os
 
-    if jax.default_backend() != "tpu":
-        return emb  # CPU/GPU: jnp fallback path, keep bit-exact f32
-    if os.environ.get("LIREC_TPU_CTX_FORCE") == "reference":
-        return emb  # kernel forced off: the cast would only hurt numerics
-    if os.environ.get("LIREC_TPU_TABLE_DTYPE", "auto") == "f32":
-        return emb
-    from lirec_tpu.ops.gather_pool import (
-        ctx_tables_cast_dtype,
-        pack_bf16_table,
-    )
+    from lirec_tpu.models.layers import compute_dtype
+    from lirec_tpu.ops.gather_pool import pack_bf16_table
 
-    n_f32 = (emb.clip.size + emb.tr1.size + emb.tr2.size) * 4
-    cast = ctx_tables_cast_dtype(n_f32)
-    if cast is None:
-        return emb
-    # bf16 is physically int32-PACKED (Mosaic can't gather dynamic rows
-    # of 16-bit VMEM arrays); the packed halves need D % 256 == 0
-    if emb.clip.shape[1] % 256 or emb.tr1.shape[1] % 256:
+    # packed halves must keep whole 128-lane tiles -> logical D % 256
+    dims_ok = (
+        emb.clip.shape[1] % 256 == 0 and emb.tr1.shape[1] % 256 == 0
+    )
+    if not ctx_cast_decision(
+        jax.default_backend(),
+        os.environ.get("LIREC_TPU_TABLE_DTYPE", "auto"),
+        compute_dtype(spec) == jnp.bfloat16,
+        (emb.clip.size + emb.tr1.size + emb.tr2.size) * 4,
+        dims_ok,
+        kernel_force=os.environ.get("LIREC_TPU_CTX_FORCE", "auto"),
+    ):
         return emb
     return EmbeddedTables(
         clip=pack_bf16_table(emb.clip),

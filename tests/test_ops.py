@@ -192,3 +192,31 @@ def test_ctx_tables_cast_policy():
     assert ctx_tables_cast_dtype(101 * 2**20) == jnp.bfloat16
     # far beyond bf16 reach -> stay f32, HBM tier handles it
     assert ctx_tables_cast_dtype(3 * VMEM_TABLE_BUDGET) is None
+
+
+def test_ctx_cast_decision_policy():
+    """Packed-bf16 table decision (models/tabular.ctx_cast_decision):
+    default-on under bf16 compute (perf mode), fit-driven under f32
+    compute, off on CPU / forced-reference / bad dims / explicit f32."""
+    from lirec_tpu.models.tabular import ctx_cast_decision
+    from lirec_tpu.ops.gather_pool import VMEM_TABLE_BUDGET
+
+    small, big = 10 * 2**20, VMEM_TABLE_BUDGET + 2**20
+    # bf16 compute on TPU: packed at every cardinality
+    assert ctx_cast_decision("tpu", "auto", True, small, True)
+    assert ctx_cast_decision("tpu", "auto", True, big, True)
+    # f32 compute: precision-first — pack only to restore VMEM residency
+    assert not ctx_cast_decision("tpu", "auto", False, small, True)
+    assert ctx_cast_decision("tpu", "auto", False, big, True)
+    assert not ctx_cast_decision(
+        "tpu", "auto", False, 3 * VMEM_TABLE_BUDGET, True
+    )  # beyond bf16 reach: HBM tier instead
+    # hard gates
+    assert not ctx_cast_decision("cpu", "auto", True, big, True)
+    assert not ctx_cast_decision("tpu", "f32", True, big, True)
+    assert not ctx_cast_decision("tpu", "auto", True, big, False)
+    assert not ctx_cast_decision(
+        "tpu", "auto", True, big, True, kernel_force="reference"
+    )
+    # explicit force wins over f32 compute
+    assert ctx_cast_decision("tpu", "bf16", False, small, True)

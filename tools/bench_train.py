@@ -186,7 +186,8 @@ def measure_modes(modes, batch: int = 64, iters: int = 120, reps: int = 5,
 
     log("-" * 60)
     for mode, ms in results.items():
-        log("%-11s %7.3f ms" % (mode, ms))
+        log("%-11s %7.3f ms"
+            % (mode, ms["ms"] if isinstance(ms, dict) else ms))
     return results
 
 
