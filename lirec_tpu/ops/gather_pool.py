@@ -328,7 +328,7 @@ def _fused_pallas_call(clip, tr1, tr2, idx, mask, guard_zero,
 
 
 def _make_fused_hbm_kernel(r_count: int, d_clip: int, d_tr: int,
-                           tile_m: int):
+                           tile_m: int, packed: bool = False):
     def _kernel(idx_ref, mask_ref, clip_ref, tr1_ref, tr2_ref, out_ref,
                 clip_buf, tr1_buf, tr2_buf, sem_c, sem_1, sem_2):
         """HBM-streaming tier: tables too big for VMEM residency.
@@ -363,7 +363,10 @@ def _make_fused_hbm_kernel(r_count: int, d_clip: int, d_tr: int,
         """
         from jax.experimental.pallas import tpu as pltpu
 
-        sc, st = d_clip // 128, d_tr // 128
+        # physical subtile counts per gathered row (packed: int32 words
+        # hold 2 bf16 logical columns -> half the physical columns)
+        sc = (d_clip // 2 if packed else d_clip) // 128
+        st = (d_tr // 2 if packed else d_tr) // 128
         dmas = [[] for _ in range(tile_m)]
         for m in range(tile_m):
             for r in range(r_count):
@@ -381,10 +384,37 @@ def _make_fused_hbm_kernel(r_count: int, d_clip: int, d_tr: int,
                     )
                     dma.start()
                     dmas[m].append(dma)
+
+        def halves(v):
+            return (
+                jax.lax.bitcast_convert_type(
+                    jax.lax.shift_left(v, 16), jnp.float32
+                ),
+                jax.lax.bitcast_convert_type(
+                    jax.lax.bitwise_and(v, jnp.int32(-65536)), jnp.float32
+                ),
+            )
+
         for m in range(tile_m):
             mbase = m * (r_count + 1)
             for dma in dmas[m]:
                 dma.wait()
+            if packed:
+                accs = [jnp.zeros((d, 128), jnp.float32)
+                        for d in (sc, sc, st, st, st, st)]
+                for r in range(r_count):
+                    slot = m * r_count + r
+                    w = mask_ref[0, 0, mbase + r]
+                    for t, buf in enumerate((clip_buf, tr1_buf, tr2_buf)):
+                        lo, hi = halves(buf[slot])
+                        accs[2 * t] = accs[2 * t] + w * lo
+                        accs[2 * t + 1] = accs[2 * t + 1] + w * hi
+                inv = mask_ref[0, 0, mbase + r_count]
+                off = 0
+                for acc, d in zip(accs, (sc, sc, st, st, st, st)):
+                    out_ref[m, off : off + d] = jnp.tanh(acc * inv)
+                    off += d
+                continue
             acc_c = jnp.zeros((sc, 128), jnp.float32)
             acc_1 = jnp.zeros((st, 128), jnp.float32)
             acc_2 = jnp.zeros((st, 128), jnp.float32)
@@ -411,7 +441,9 @@ def _fused_hbm_pallas_call(clip, tr1, tr2, idx, mask, guard_zero,
     from jax.experimental.pallas import tpu as pltpu
 
     M, R, _ = idx.shape
-    d_clip, d_tr = clip.shape[1], tr1.shape[1]
+    packed = clip.dtype == jnp.int32  # packed-bf16 tables (2 cols/word)
+    d_clip = clip.shape[1] * (2 if packed else 1)  # logical dims
+    d_tr = tr1.shape[1] * (2 if packed else 1)
     divider = mask.sum(axis=-1, keepdims=True)
     if guard_zero:
         divider = jnp.where(divider == 0, 1.0, divider)
@@ -422,15 +454,18 @@ def _fused_hbm_pallas_call(clip, tr1, tr2, idx, mask, guard_zero,
     idx_tiled = idx.reshape(M // tile_m, 1, tile_m * R * 3)
     mask_tiled = packed_mask.reshape(M // tile_m, 1, tile_m * (R + 1))
     n_slots = tile_m * R
+    # physical per-row subtile counts (packed rows are half as wide)
+    pc, pt = clip.shape[1] // 128, tr1.shape[1] // 128
+    # logical output subtile count
     sc, st = d_clip // 128, d_tr // 128
     # subtile the row dim out of Mosaic's tiled last-two dims (see kernel
     # docstring); these reshapes are loop-invariant in the eval sweep and
     # hoist out of the fori_loop
-    clip3 = clip.reshape(clip.shape[0], sc, 128)
-    tr1_3 = tr1.reshape(tr1.shape[0], st, 128)
-    tr2_3 = tr2.reshape(tr2.shape[0], st, 128)
+    clip3 = clip.reshape(clip.shape[0], pc, 128)
+    tr1_3 = tr1.reshape(tr1.shape[0], pt, 128)
+    tr2_3 = tr2.reshape(tr2.shape[0], pt, 128)
     out3 = pl.pallas_call(
-        _make_fused_hbm_kernel(R, d_clip, d_tr, tile_m),
+        _make_fused_hbm_kernel(R, d_clip, d_tr, tile_m, packed=packed),
         grid=(M // tile_m,),
         in_specs=[
             pl.BlockSpec(
@@ -454,9 +489,9 @@ def _fused_hbm_pallas_call(clip, tr1, tr2, idx, mask, guard_zero,
             (M, sc + 2 * st, 128), jnp.float32
         ),
         scratch_shapes=[
-            pltpu.VMEM((n_slots, sc, 128), clip.dtype),
-            pltpu.VMEM((n_slots, st, 128), tr1.dtype),
-            pltpu.VMEM((n_slots, st, 128), tr2.dtype),
+            pltpu.VMEM((n_slots, pc, 128), clip.dtype),
+            pltpu.VMEM((n_slots, pt, 128), tr1.dtype),
+            pltpu.VMEM((n_slots, pt, 128), tr2.dtype),
             pltpu.SemaphoreType.DMA((tile_m,)),
             pltpu.SemaphoreType.DMA((tile_m,)),
             pltpu.SemaphoreType.DMA((tile_m,)),
@@ -553,9 +588,9 @@ def fused_ctx_pool(
         emb.clip.size + emb.tr1.size + emb.tr2.size
     ) * 4 < VMEM_TABLE_BUDGET
     ok = ok_common and tables_fit_vmem
-    # the HBM tier's VMEM use is only the per-tile row scratch (f32
-    # tables only: the packed tier exists to restore VMEM residency)
-    ok_hbm = ok_common and not packed and (
+    # the HBM tier's VMEM use is only the per-tile row scratch; packed
+    # tables work there too (giant scale: halved DMA bytes + scratch)
+    ok_hbm = ok_common and (
         tile_m * R * (emb.clip.shape[1] + 2 * emb.tr1.shape[1])
         * emb.clip.dtype.itemsize < 8 * 1024 * 1024
     )

@@ -220,3 +220,16 @@ def test_ctx_cast_decision_policy():
     )
     # explicit force wins over f32 compute
     assert ctx_cast_decision("tpu", "bf16", False, small, True)
+
+
+def test_fused_ctx_pool_hbm_packed_interpret():
+    """Packed-bf16 tables through the HBM-streaming tier (giant scale:
+    packed tables still exceed the VMEM budget — halved DMA bytes)."""
+    from lirec_tpu.ops.gather_pool import fused_ctx_pool
+
+    emb, idx, mask = _fused_inputs(zero_row=True, seed=13, Dc=512, Dt=256)
+    emb_p = _packed(emb)
+    ref_p = fused_ctx_pool(emb_p, idx, mask, True, force="reference")
+    out = fused_ctx_pool(emb_p, idx, mask, True, force="interpret-hbm")
+    assert np.asarray(out).dtype == np.float32
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_p), atol=1e-6)

@@ -131,6 +131,19 @@ def main() -> int:
           % (float(np.abs(kern_b - ref_b).max()),
              float(np.abs(kern_b - ref_h).max())))
 
+    # packed tables through the HBM tier (giant scale: even packed
+    # exceeds the VMEM budget — halved DMA bytes vs f32 HBM streaming)
+    kern_bh = np.asarray(
+        fused_ctx_pool(big16, big_idx, mask, guard_zero_divide=True,
+                       force="pallas-hbm")
+    )
+    np.testing.assert_allclose(
+        kern_bh, ref_b, rtol=2e-5, atol=2e-6,
+        err_msg="fused_ctx_pool packed HBM tier on-chip mismatch",
+    )
+    print("fused_ctx_pool packed-bf16 HBM tier ok: max |diff| %.2e vs "
+          "packed ref" % float(np.abs(kern_bh - ref_b).max()))
+
     table = randn(n_clips, 2 * joint)
     idx2 = jnp.asarray(
         rng.integers(0, n_clips, size=(M, R)).astype(np.int32)
