@@ -95,6 +95,13 @@ def build_parser(preset_name: str) -> argparse.ArgumentParser:
                    help="sample-assembly worker processes (the reference "
                         "ran 4 DataLoader workers); 0 = in-process. "
                         "Identical batches at any worker count")
+    p.add_argument("--localize-tables", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="batch-local table projection for training "
+                        "(data/localize.py): remap each batch to its "
+                        "unique table rows so the first-layer GEMMs run "
+                        "at batch size, not table size. auto = on when "
+                        "profitable at the split's cardinality")
     p.add_argument("--per-batch-train", action="store_true",
                    help="dispatch one device step per batch with the "
                         "reference's per-iteration telemetry prints, "
@@ -356,11 +363,15 @@ def run_entry(preset_name: str, argv=None) -> dict:
             host_eval=args.host_eval,
             epoch_sweep=False if args.per_batch_train else None,
             assembly_workers=args.assembly_workers,
+            localize_tables={"auto": None, "on": True, "off": False}[
+                args.localize_tables
+            ],
         )
         params = out["params"]
         results["train"] = {
             "losses": out["losses"],
             "epoch_sweep_used": out.get("epoch_sweep_used"),
+            "localized_tables": out.get("localized_tables"),
         }
     else:
         eval_kw = {}

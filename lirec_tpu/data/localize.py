@@ -1,0 +1,152 @@
+"""Batch-local feature-table projection (train-path FLOP dedup).
+
+At real-split cardinality the hybrid train path's table-level first
+layers (models/hybrid.project_tables) dominate the step: every step runs
+the first-layer GEMMs over ALL deduplicated table rows (12k clip / 25k
+track rows at real scale — ~550 GFLOP fwd+bwd ≈ 3 ms of the 7.6 ms
+step), yet a B=64 batch references only the rows its samples touch: a
+sample's track rows come from its few character names and its context
+clips from per-(pair, rel) pools (ref classification_dataloader.py:
+291-616 via data/dataset.py).
+
+Localizing a batch — gathering the unique raw rows once on device and
+remapping ``feat_idx`` to local slots — makes the table-MLP GEMMs, their
+backward weight-grad GEMMs, and the scatter-accumulate VJP all run at
+batch-unique size instead of table size. Per-row math is unchanged
+(row-independent GEMMs) and the dropout stream is untouched (masks are
+drawn post-gather in per-use order, models/hybrid.py), so the training
+trajectory matches the full-table path to float tolerance
+(tests/test_localize.py).
+
+Capacities are static per compiled program: unique counts are padded to
+rounded capacities that only grow (monotonic across epochs — at most a
+handful of recompiles per run), and localization auto-disables when the
+batch-unique rows are not meaningfully smaller than the tables (the
+profitability gate below), so toy-scale runs keep the plain path.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+__all__ = ["Localizer", "localize_batch", "batch_unique_counts"]
+
+# pad capacities to multiples of this (static shapes; avoids a recompile
+# per epoch when the max unique count wobbles)
+_ROUND = 256
+# localize only when the batch-unique first-layer work is at most this
+# fraction of the full-table work (below that, the extra raw-row gather
+# isn't worth the bookkeeping)
+_PROFIT_FRAC = 0.75
+
+
+def _round_up(n: int, cap: int) -> int:
+    return min(int(np.ceil(max(n, 1) / _ROUND)) * _ROUND, cap)
+
+
+def batch_unique_counts(batch: Dict) -> tuple:
+    """(n_unique_clip, n_unique_track) for one host batch."""
+    fi = np.asarray(batch["feat_idx"])
+    return (
+        int(np.unique(fi[..., 0]).size),
+        int(np.unique(fi[..., 1:]).size),
+    )
+
+
+def localize_batch(batch: Dict, cap_clip: int, cap_track: int) -> Optional[Dict]:
+    """Remap one host batch's feat_idx to batch-local table slots.
+
+    Returns a new batch with ``feat_idx`` pointing into ``uniq_clip``
+    [cap_clip] / ``uniq_track`` [cap_track] (padded with row 0), or None
+    if the unique counts exceed the capacities (caller grows and retries).
+    """
+    fi = np.asarray(batch["feat_idx"])
+    uc, inv_c = np.unique(fi[..., 0], return_inverse=True)
+    ut, inv_t = np.unique(fi[..., 1:], return_inverse=True)
+    if uc.size > cap_clip or ut.size > cap_track:
+        return None
+    nfi = np.empty_like(fi, dtype=np.int32)
+    nfi[..., 0] = inv_c.reshape(fi.shape[:-1])
+    nfi[..., 1:] = inv_t.reshape(fi.shape[:-1] + (2,))
+    out = dict(batch)
+    out["feat_idx"] = nfi
+    out["uniq_clip"] = _pad_ids(uc, cap_clip)
+    out["uniq_track"] = _pad_ids(ut, cap_track)
+    return out
+
+
+def _pad_ids(ids: np.ndarray, cap: int) -> np.ndarray:
+    out = np.zeros(cap, np.int32)
+    out[: ids.size] = ids
+    return out
+
+
+class Localizer:
+    """Stateful per-run localization: measures capacities from the data,
+    grows them monotonically, and applies the profitability gate once
+    per growth against the table cardinalities."""
+
+    def __init__(self, spec, n_clips: int, n_tracks: int,
+                 force: Optional[bool] = None):
+        self.cap_clip = 0
+        self.cap_track = 0
+        self.n_clips = int(n_clips)
+        self.n_tracks = int(n_tracks)
+        # FLOP weight of one table row in the first-layer GEMMs: the clip
+        # row feeds the txt+vis MLPs, a track row feeds the two track MLPs
+        self._w_clip = int(spec.text_dim) + int(spec.visual_dim)
+        self._w_track = 2 * int(spec.track_dim)
+        self.force = force
+        self.enabled = force is not False
+        self.applied = False  # any batch localized this run (telemetry)
+
+    def _profitable(self) -> bool:
+        if self.force is True:
+            return True
+        local = self.cap_clip * self._w_clip + self.cap_track * self._w_track
+        full = self.n_clips * self._w_clip + self.n_tracks * self._w_track
+        return local < _PROFIT_FRAC * full
+
+    def _grow(self, batches: Sequence[Dict]) -> None:
+        mc, mt = self.cap_clip, self.cap_track
+        for b in batches:
+            c, t = batch_unique_counts(b)
+            mc, mt = max(mc, c), max(mt, t)
+        self.cap_clip = _round_up(mc, self.n_clips)
+        self.cap_track = _round_up(mt, self.n_tracks)
+
+    def maybe_localize(self, batches: List[Dict]) -> List[Dict]:
+        """Localize an epoch's batches, or return them unchanged when
+        disabled/unprofitable. All batches of a call share the current
+        capacities (uniform stacked shapes for the epoch sweep)."""
+        from lirec_tpu.ops import dispatch
+
+        if not self.enabled or not batches or "feat_idx" not in batches[0]:
+            return batches
+        self._grow(batches)
+        shapes = {
+            "caps": (self.cap_clip, self.cap_track),
+            "tables": (self.n_clips, self.n_tracks),
+        }
+        if not self._profitable():
+            if self.force is not True:
+                self.enabled = False  # cardinality won't shrink; stop measuring
+            dispatch.record(
+                "localize_tables", "off",
+                "batch-unique rows not under %.0f%% of table rows"
+                % (100 * _PROFIT_FRAC), shapes,
+            )
+            return batches
+        out = []
+        for b in batches:
+            lb = localize_batch(b, self.cap_clip, self.cap_track)
+            assert lb is not None  # capacities just grew past every batch
+            out.append(lb)
+        self.applied = True
+        dispatch.record(
+            "localize_tables", "on",
+            "forced" if self.force is True else "profitable", shapes,
+        )
+        return out

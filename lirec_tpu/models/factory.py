@@ -46,6 +46,18 @@ def apply_model(
     """
     if use_tabular is None:
         use_tabular = deterministic and "feat_idx" in batch
+    if tables is not None and "uniq_clip" in batch:
+        # batch-local tables (data/localize.py): feat_idx is remapped to
+        # slots of the batch's unique rows — gather the raw rows once so
+        # every table-level first layer (and its backward) runs at
+        # batch-unique size instead of table size
+        uc = jnp.asarray(batch["uniq_clip"])
+        ut = jnp.asarray(batch["uniq_track"])
+        tables = {
+            "text": jnp.asarray(tables["text"])[uc],
+            "visual": jnp.asarray(tables["visual"])[uc],
+            "track": jnp.asarray(tables["track"])[ut],
+        }
     if use_tabular and "feat_idx" in batch:
         from lirec_tpu.models import tabular
 

@@ -128,10 +128,14 @@ def param_shardings(params: Dict, mesh: Mesh, gates: bool = True) -> Dict:
 
 
 def batch_shardings(batch: Dict, mesh: Mesh) -> Dict:
-    """Shard every per-sample array over the data axis."""
+    """Shard every per-sample array over the data axis. Batch-level keys
+    (the localized-table unique-row ids, data/localize.py) have no batch
+    dimension and replicate."""
     return {
         key: NamedSharding(
-            mesh, P("data", *([None] * (np.ndim(val) - 1)))
+            mesh,
+            P(None) if key in ("uniq_clip", "uniq_track")
+            else P("data", *([None] * (np.ndim(val) - 1))),
         )
         for key, val in batch.items()
     }

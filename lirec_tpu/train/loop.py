@@ -28,7 +28,9 @@ from lirec_tpu.utils.meters import Averaging, MetricsLogger
 
 __all__ = ["train", "make_train_step", "make_epoch_sweep"]
 
-MODEL_KEYS = ("features", "feat_idx", "rels_mask")
+MODEL_KEYS = (
+    "features", "feat_idx", "rels_mask", "uniq_clip", "uniq_track"
+)
 
 
 def make_train_step(bundle, tx, mesh=None):
@@ -127,6 +129,9 @@ def _pad_batch(batch, full_batch: int):
     pad = full_batch - n
     out = {}
     for k, v in batch.items():
+        if k in ("uniq_clip", "uniq_track"):
+            out[k] = v  # batch-level key (no batch axis), never padded
+            continue
         v = np.asarray(v)
         fill = np.broadcast_to(v[:1], (pad,) + v.shape[1:])
         out[k] = np.concatenate([v, fill.astype(v.dtype)], axis=0)
@@ -191,6 +196,7 @@ def train(
     epoch_sweep: Optional[bool] = None,
     sweep_max_steps: int = 512,
     assembly_workers: int = 0,
+    localize_tables: Optional[bool] = None,
 ) -> Dict:
     """Run the epoch loop; returns {'params', 'opt_state', 'saver',
     'final_path'} (control flow: ref mlp/train.py:41-107).
@@ -260,6 +266,29 @@ def train(
 
         return host_copy(tree)
 
+    # batch-local table projection (data/localize.py): remap each batch's
+    # feat_idx to its unique rows so the table-level first layers run at
+    # batch-unique size. Auto (None): on for single-process packed runs
+    # whenever the profitability gate fires at real cardinality; off for
+    # dense batches and multi-process runs (commit_batch slices batches
+    # along the batch axis, which batch-level unique-id arrays lack).
+    localizer = None
+    if (
+        localize_tables is not False and not dense and tables is not None
+        and not multiprocess
+    ):
+        from lirec_tpu.data.localize import Localizer
+
+        localizer = Localizer(
+            bundle.spec,
+            n_clips=np.shape(tables["text"])[0],
+            n_tracks=np.shape(tables["track"])[0],
+            force=localize_tables,
+        )
+
+    def localized(batches):
+        return localizer.maybe_localize(batches) if localizer else batches
+
     step = make_train_step(bundle, tx, mesh=mesh)
     if epoch_sweep is None:
         epoch_sweep = not dense
@@ -277,7 +306,10 @@ def train(
 
         shardings = {
             k: NamedSharding(
-                mesh, P(None, "data", *([None] * (np.ndim(v) - 2)))
+                mesh,
+                # uniq_* are [S, cap] batch-level id arrays -> replicate
+                P(None) if k in ("uniq_clip", "uniq_track")
+                else P(None, "data", *([None] * (np.ndim(v) - 2))),
             )
             for k, v in stacked.items()
         }
@@ -361,7 +393,7 @@ def train(
         if use_sweep:
             batches = (
                 pending_batches if pending_batches is not None
-                else _collect_batches(iterator)
+                else localized(_collect_batches(iterator))
             )
             data_time.update(time.time() - end)
             # chunk very long epochs so the stacked [S, B, ...] arrays stay
@@ -384,7 +416,7 @@ def train(
             # batches (per-sample host work, the real-data bottleneck) while
             # the device runs this one, then fetch the losses
             pending_batches = (
-                _collect_batches(iterator)
+                localized(_collect_batches(iterator))
                 if epoch + 1 < o.epochs else None
             )
             for step_losses, part in dispatched:
@@ -396,7 +428,10 @@ def train(
                 batch_time.update((time.time() - end) / len(batches))
             end = time.time()
         for i, batch in enumerate(
-            () if use_sweep else prefetch_to_device(iterator)
+            () if use_sweep
+            else prefetch_to_device(
+                localized([b])[0] for b in iterator
+            )
         ):
             data_time.update(time.time() - end)
             n = batch["labels"].shape[0] if batch["labels"].ndim else 1
@@ -499,4 +534,5 @@ def train(
         "losses": losses,
         "final_path": final_path,
         "epoch_sweep_used": bool(use_sweep),
+        "localized_tables": bool(localizer and localizer.applied),
     }

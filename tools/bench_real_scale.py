@@ -36,6 +36,17 @@ def main():
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--skip-eval", action="store_true")
+    ap.add_argument(
+        "--iid-batches", action="store_true",
+        help="train batches with IID-random indices (the r4-early stress; "
+        "default is make_structured_batch, which mirrors the real "
+        "loader's per-sample locality — see utils/fake_batch.py)",
+    )
+    ap.add_argument(
+        "--localize", choices=("ablate", "on", "off"), default="ablate",
+        help="batch-local table projection for the train step: 'ablate' "
+        "(default) measures both and reports the delta in one session",
+    )
     args = ap.parse_args()
 
     import bench
@@ -69,22 +80,30 @@ def main():
     if not args.skip_train:
         # tools/bench_train.measure_modes hard-codes 2048/4096 tables;
         # run the same 'full' sweep at the stress cardinalities instead
-        out["train"] = _train_at_scale(args)
-        sc = dispatch.last_dispatch("scatter_accum")
-        out["train_scatter_dispatch"] = sc
-        log(
-            "TRAIN %.2f ms/step; scatter -> %s (%s)"
-            % (out["train"]["ms"], sc and sc["path"], sc and sc["reason"])
+        variants = (
+            (False, True) if args.localize == "ablate"
+            else (args.localize == "on",)
         )
+        for localize in variants:
+            res = _train_at_scale(args, localize=localize)
+            key = "train_localized" if localize else "train"
+            out[key] = res
+            sc = dispatch.last_dispatch("scatter_accum")
+            out[key + "_scatter_dispatch"] = sc
+            log(
+                "TRAIN%s %.2f ms/step; scatter -> %s (%s)"
+                % (
+                    " (localized)" if localize else "",
+                    res["ms"], sc and sc["path"], sc and sc["reason"],
+                )
+            )
 
     print(json.dumps(out))
 
 
-def _train_at_scale(args):
+def _train_at_scale(args, localize: bool = False):
     """Full train step (fwd+loss+bwd+Adam) slope-timed at the stress
     cardinalities — the tools/bench_train.py 'full' mode with big tables."""
-    import functools
-
     import jax
     import jax.numpy as jnp
 
@@ -92,7 +111,9 @@ def _train_at_scale(args):
     from lirec_tpu.cli.common import _enable_compilation_cache
     from lirec_tpu.models.factory import create_model
     from lirec_tpu.train import optim as optim_lib
-    from lirec_tpu.utils.fake_batch import make_batch, make_tables
+    from lirec_tpu.utils.fake_batch import (
+        make_batch, make_structured_batch, make_tables,
+    )
 
     _enable_compilation_cache()
     cfg = config_lib.preset("int_rel_ch", data_root="/nonexistent")
@@ -103,14 +124,38 @@ def _train_at_scale(args):
         jnp.asarray, make_tables(bundle.spec, n_clips, n_tracks)
     )
     B = args.batch
+    make = make_batch if args.iid_batches else make_structured_batch
     batches = [
-        make_batch(bundle.spec, B, n_clips, n_tracks, seed=s)
-        for s in range(4)
+        make(bundle.spec, B, n_clips, n_tracks, seed=s) for s in range(4)
     ]
+    info = {}
+    if localize:
+        from lirec_tpu.data.localize import Localizer, batch_unique_counts
+
+        counts = [batch_unique_counts(b) for b in batches]
+        loc = Localizer(bundle.spec, n_clips, n_tracks, force=True)
+        batches = loc.maybe_localize(batches)
+        info = {
+            "unique_clip_per_batch": [c for c, _ in counts],
+            "unique_track_per_batch": [t for _, t in counts],
+            "cap_clip": loc.cap_clip,
+            "cap_track": loc.cap_track,
+            "dedup_clip_x": round(n_clips / max(loc.cap_clip, 1), 2),
+            "dedup_track_x": round(n_tracks / max(loc.cap_track, 1), 2),
+        }
+        log(
+            "localized: caps %d/%d vs tables %d/%d (dedup %.1fx / %.1fx)"
+            % (loc.cap_clip, loc.cap_track, n_clips, n_tracks,
+               info["dedup_clip_x"], info["dedup_track_x"])
+        )
     stacked = {
         k: jnp.stack([jnp.asarray(b[k]) for b in batches])
         for k in batches[0]
     }
+    model_keys = tuple(
+        k for k in ("feat_idx", "rels_mask", "uniq_clip", "uniq_track")
+        if k in batches[0]
+    )
     base_rng = jax.random.key(0, impl="rbg")
     o = cfg.optim
     tx = optim_lib.make_optimizer(o.lr, o.weight_decay)
@@ -125,9 +170,7 @@ def _train_at_scale(args):
             params, opt_state, fold = carry
             batch = jax.tree.map(lambda a: a[i % 4], stacked)
             rng = jax.random.fold_in(base_rng, i)
-            model_batch = {
-                k: batch[k] for k in ("feat_idx", "rels_mask") if k in batch
-            }
+            model_batch = {k: batch[k] for k in model_keys}
 
             def loss_fn(p):
                 outp = bundle.apply(
@@ -166,11 +209,15 @@ def _train_at_scale(args):
         tl = timed(124 + 2 * rep)
         per.append((tl - ts) / 119)
     ok = sorted(p for p in per if p > 0) or sorted(per)
-    return {
-        "ms": round(ok[len(ok) // 2] * 1000, 3),
-        "reps_ms": [round(p * 1000, 3) for p in per],
-        "compile_s": round(compile_s, 1),
-    }
+    return dict(
+        {
+            "ms": round(ok[len(ok) // 2] * 1000, 3),
+            "reps_ms": [round(p * 1000, 3) for p in per],
+            "compile_s": round(compile_s, 1),
+            "batch_structure": "iid" if args.iid_batches else "structured",
+        },
+        **info,
+    )
 
 
 if __name__ == "__main__":
