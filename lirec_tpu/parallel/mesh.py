@@ -201,10 +201,16 @@ def global_batch_from_local(local_batch: Dict, mesh: Mesh,
     Each process passes only ITS rows (see `process_local_slice`);
     `jax.make_array_from_process_local_data` assembles the global array
     without any cross-host transfer. Works single-process too (where it
-    degenerates to a device_put)."""
+    degenerates to a device_put). Batch-level keys with no batch axis
+    (the localized-table unique-row ids) must arrive FULL on every
+    process and replicate."""
     out = {}
     for key, val in local_batch.items():
         val = np.asarray(val)
-        sh = NamedSharding(mesh, P(axis, *([None] * (val.ndim - 1))))
+        spec = (
+            P(None) if key in ("uniq_clip", "uniq_track")
+            else P(axis, *([None] * (val.ndim - 1)))
+        )
+        sh = NamedSharding(mesh, spec)
         out[key] = jax.make_array_from_process_local_data(sh, val)
     return out

@@ -268,15 +268,14 @@ def train(
 
     # batch-local table projection (data/localize.py): remap each batch's
     # feat_idx to its unique rows so the table-level first layers run at
-    # batch-unique size. Auto (None): on for single-process packed runs
-    # whenever the profitability gate fires at real cardinality; off for
-    # dense batches and multi-process runs (commit_batch slices batches
-    # along the batch axis, which batch-level unique-id arrays lack).
+    # batch-unique size. Auto (None): on for packed runs whenever the
+    # profitability gate fires at real cardinality; off for dense
+    # batches. Multi-process: every process sees the same seeded global
+    # batches, so the (deterministic) analysis produces identical uniq
+    # arrays everywhere and they replicate (commit paths exempt them
+    # from batch-axis slicing).
     localizer = None
-    if (
-        localize_tables is not False and not dense and tables is not None
-        and not multiprocess
-    ):
+    if localize_tables is not False and not dense and tables is not None:
         from lirec_tpu.data.localize import Localizer
 
         localizer = Localizer(
@@ -327,7 +326,13 @@ def train(
             # each contributes only ITS contiguous data-axis rows and the
             # global array assembles without cross-host transfer
             sl = mesh_lib.process_local_slice(mesh, o.batch_size)
-            local = {k: np.asarray(v)[sl] for k, v in batch.items()}
+            local = {
+                # batch-level keys (localized unique-row ids) stay full
+                # on every process and replicate
+                k: np.asarray(v) if k in ("uniq_clip", "uniq_track")
+                else np.asarray(v)[sl]
+                for k, v in batch.items()
+            }
             return mesh_lib.global_batch_from_local(local, mesh)
         return mesh_lib.shard_tree(
             batch, mesh_lib.batch_shardings(batch, mesh)

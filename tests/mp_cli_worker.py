@@ -19,8 +19,10 @@ def main():
     synth_root = sys.argv[4]
     store = sys.argv[5]
     # optional 6th arg: mesh spec, or "auto" to omit --mesh entirely (the
-    # CLI then auto-builds a data-only mesh; tests/test_multiprocess.py)
+    # CLI then auto-builds a data-only mesh; tests/test_multiprocess.py);
+    # any further args are passed through to the entry verbatim
     mesh = sys.argv[6] if len(sys.argv) > 6 else "4x2"
+    extra = sys.argv[7:]
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
@@ -37,7 +39,7 @@ def main():
         "--joint-dim", "16", "--compute-dtype", "float32",
         "--coordinator", "localhost:%s" % port,
         "--num-processes", "2", "--process-id", str(pid),
-    ] + ([] if mesh == "auto" else ["--mesh", mesh]))
+    ] + ([] if mesh == "auto" else ["--mesh", mesh]) + extra)
     with open(out_path, "w") as f:
         json.dump(
             {
@@ -45,6 +47,7 @@ def main():
                 "device_count": jax.device_count(),
                 "losses": out["train"]["losses"],
                 "epoch_sweep_used": out["train"].get("epoch_sweep_used"),
+                "localized_tables": out["train"].get("localized_tables"),
             },
             f,
         )

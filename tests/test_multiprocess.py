@@ -121,7 +121,7 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     assert results[0]["metrics"] == results[1]["metrics"]
 
 
-def _run_cli_cluster(synth_root, tmp_path, mesh, store_name):
+def _run_cli_cluster(synth_root, tmp_path, mesh, store_name, extra=()):
     """Spawn the 2-process CLI training cluster; returns per-pid results."""
     cli_worker = os.path.join(REPO, "tests", "mp_cli_worker.py")
     port = _free_port()
@@ -137,7 +137,7 @@ def _run_cli_cluster(synth_root, tmp_path, mesh, store_name):
         procs.append(
             subprocess.Popen(
                 [sys.executable, cli_worker, str(pid), str(port), out,
-                 synth_root, store, mesh],
+                 synth_root, store, mesh] + list(extra),
                 env=env, cwd=REPO,
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             )
@@ -175,6 +175,33 @@ def test_two_process_no_mesh_takes_epoch_sweep(synth_root, tmp_path):
     assert single["train"]["epoch_sweep_used"]
     np.testing.assert_allclose(
         results[0]["losses"], single["train"]["losses"], rtol=2e-5, atol=1e-6
+    )
+
+
+def test_two_process_localized_training_matches_plain(synth_root, tmp_path):
+    """Forced batch-local table projection (data/localize.py) in a
+    2-process cluster: uniq_* ids replicate (never sliced along the batch
+    axis), and the trajectory matches a plain single-process run."""
+    results, _ = _run_cli_cluster(
+        synth_root, tmp_path, "4x2", "store_loc",
+        extra=("--localize-tables", "on"),
+    )
+    assert all(r["localized_tables"] for r in results)
+    assert all(r["epoch_sweep_used"] for r in results)
+    np.testing.assert_allclose(results[0]["losses"], results[1]["losses"])
+
+    from lirec_tpu.cli.common import run_entry
+
+    single = run_entry("int_rel_ch", [
+        "--data-root", synth_root, "--store-root", str(tmp_path / "store_pl"),
+        "--train", "--epochs", "2", "--batch-size", "8", "--quiet",
+        "--text-dim", "16", "--visual-dim", "32", "--text-layers", "4",
+        "--joint-dim", "16", "--compute-dtype", "float32",
+        "--mesh", "4x2", "--localize-tables", "off",
+    ])
+    np.testing.assert_allclose(
+        results[0]["losses"], single["train"]["losses"],
+        rtol=2e-5, atol=1e-6,
     )
 
 
