@@ -34,6 +34,57 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+# gloo context formation has a hard 30 s key-exchange deadline inside XLA;
+# on this 1-core box per-process skew (imports, compile-cache hit/miss
+# asymmetry) occasionally exceeds it and the whole cluster dies at its
+# first collective. That is infrastructure timing, not a correctness
+# signal — retry ONCE on this exact signature only (assertion failures and
+# any other worker crash still fail the test immediately).
+_INFRA_FLAKE_SIGNS = (
+    "Gloo context initialization failed",
+    "DEADLINE_EXCEEDED",
+    "Barrier timed out",
+    "distributed service detected fatal errors",
+)
+
+
+def _run_cluster(spawn, n_attempts: int = 2, timeout: int = 600):
+    """spawn() -> (procs, out_paths); returns loaded per-pid result dicts.
+
+    Retries spawn() once when a failing worker's output matches the gloo/
+    coordination-deadline signature above; any other failure (or a second
+    infra failure) raises with the workers' full stdout/stderr."""
+    last_report = None
+    for attempt in range(n_attempts):
+        procs, outs = spawn()
+        reports, infra_flake, failed = [], False, False
+        for p in procs:
+            stdout, stderr = p.communicate(timeout=timeout)
+            text = stdout.decode() + "\n" + stderr.decode()
+            reports.append((p.returncode, text))
+            if p.returncode != 0:
+                failed = True
+                if any(sig in text for sig in _INFRA_FLAKE_SIGNS):
+                    infra_flake = True
+        if not failed:
+            results = []
+            for out in outs:
+                with open(out) as f:
+                    results.append(json.load(f))
+            return results
+        last_report = "\n".join(
+            "--- worker rc=%s ---\n%s" % (rc, text) for rc, text in reports
+        )
+        if not infra_flake:
+            break
+        print(
+            "cluster hit the gloo-init deadline (attempt %d); retrying"
+            % (attempt + 1),
+            file=sys.stderr,
+        )
+    raise AssertionError("cluster worker failed:\n%s" % last_report)
+
+
 def _single_process_expectation():
     """Same computation as mp_worker, on this process's 8 virtual devices."""
     import jax.numpy as jnp
@@ -78,33 +129,28 @@ def _single_process_expectation():
 
 
 def test_two_process_cluster_matches_single_process(tmp_path):
-    port = _free_port()
-    procs, outs = [], []
-    for pid in range(2):
-        out = str(tmp_path / ("out_%d.json" % pid))
-        outs.append(out)
-        env = dict(os.environ)
-        env.pop("XLA_FLAGS", None)  # worker sets its own 4-device flag
-        env["JAX_PLATFORMS"] = "cpu"
-        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-        procs.append(
-            subprocess.Popen(
-                [sys.executable, WORKER, str(pid), str(port), out],
-                env=env,
-                cwd=REPO,
-                stdout=subprocess.PIPE,
-                stderr=subprocess.PIPE,
+    def spawn():
+        port = _free_port()
+        procs, outs = [], []
+        for pid in range(2):
+            out = str(tmp_path / ("out_%d.json" % pid))
+            outs.append(out)
+            env = dict(os.environ)
+            env.pop("XLA_FLAGS", None)  # worker sets its own 4-device flag
+            env["JAX_PLATFORMS"] = "cpu"
+            env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, WORKER, str(pid), str(port), out],
+                    env=env,
+                    cwd=REPO,
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.PIPE,
+                )
             )
-        )
-    results = []
-    for p, out in zip(procs, outs):
-        stdout, stderr = p.communicate(timeout=300)
-        assert p.returncode == 0, (
-            "worker failed:\n%s\n%s" % (stdout.decode(), stderr.decode())
-        )
-        with open(out) as f:
-            results.append(json.load(f))
+        return procs, outs
 
+    results = _run_cluster(spawn, timeout=300)
     assert all(r["device_count"] == 8 for r in results)
     loss, metrics = _single_process_expectation()
 
@@ -124,33 +170,29 @@ def test_two_process_cluster_matches_single_process(tmp_path):
 def _run_cli_cluster(synth_root, tmp_path, mesh, store_name, extra=()):
     """Spawn the 2-process CLI training cluster; returns per-pid results."""
     cli_worker = os.path.join(REPO, "tests", "mp_cli_worker.py")
-    port = _free_port()
     store = str(tmp_path / store_name)
-    procs, outs = [], []
-    for pid in range(2):
-        out = str(tmp_path / ("cli_%s_%d.json" % (store_name, pid)))
-        outs.append(out)
-        env = dict(os.environ)
-        env.pop("XLA_FLAGS", None)
-        env["JAX_PLATFORMS"] = "cpu"
-        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-        procs.append(
-            subprocess.Popen(
-                [sys.executable, cli_worker, str(pid), str(port), out,
-                 synth_root, store, mesh] + list(extra),
-                env=env, cwd=REPO,
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+
+    def spawn():
+        port = _free_port()
+        procs, outs = [], []
+        for pid in range(2):
+            out = str(tmp_path / ("cli_%s_%d.json" % (store_name, pid)))
+            outs.append(out)
+            env = dict(os.environ)
+            env.pop("XLA_FLAGS", None)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, cli_worker, str(pid), str(port), out,
+                     synth_root, store, mesh] + list(extra),
+                    env=env, cwd=REPO,
+                    stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                )
             )
-        )
-    results = []
-    for p, out in zip(procs, outs):
-        stdout, stderr = p.communicate(timeout=600)
-        assert p.returncode == 0, (
-            "CLI worker failed:\n%s\n%s" % (stdout.decode(), stderr.decode())
-        )
-        with open(out) as f:
-            results.append(json.load(f))
-    return results, store
+        return procs, outs
+
+    return _run_cluster(spawn), store
 
 
 def test_two_process_no_mesh_takes_epoch_sweep(synth_root, tmp_path):
