@@ -141,7 +141,8 @@ def bench_jax(batch_size: int, iters: int, warmup: int, compute_dtype: str):
 
 def bench_e2e_eval(batch_size: int, compute_dtype: str,
                    n_clips: int = 2048, n_tracks: int = 4096,
-                   n_batches: int = 168, dims=None):
+                   n_batches: int = 168, dims=None,
+                   structured: bool = False, localize_ctx=None):
     """End-to-end eval throughput: packed split (device-resident index
     batches) -> on-device metric sweep -> fetched counters -> metric dict
     on host. This is the full product path of `evaluate_packed` (the whole
@@ -161,7 +162,9 @@ def bench_e2e_eval(batch_size: int, compute_dtype: str,
     )
     from lirec_tpu.models.factory import create_model
     from lirec_tpu.models.tabular import embed_all
-    from lirec_tpu.utils.fake_batch import make_batch, make_tables
+    from lirec_tpu.utils.fake_batch import (
+        make_batch, make_structured_batch, make_tables,
+    )
 
     C, NR = 101, 15
     cfg = config_lib.preset("int_rel_ch", data_root="/nonexistent")
@@ -174,20 +177,29 @@ def bench_e2e_eval(batch_size: int, compute_dtype: str,
     )
     B = batch_size
     N_BATCHES = n_batches  # split size for the long sweep
-    data = make_batch(bundle.spec, B * N_BATCHES, n_clips, n_tracks, seed=7)
-    data = {k: jnp.asarray(v) for k, v in data.items()}
+    # structured=True mirrors the real loader's per-sample index locality
+    # (utils/fake_batch.make_structured_batch) — required for a meaningful
+    # eval ctx localization measurement; IID draws barely dedup
+    make = make_structured_batch if structured else make_batch
+    data_host = make(bundle.spec, B * N_BATCHES, n_clips, n_tracks, seed=7)
 
     t = cfg.tasks
     init_carry, step = device_sweep_builder(bundle, t, C, NR, 0)
 
     @jax.jit
-    def sweep(params, tables, embedded, data, n):
+    def sweep(params, tables, embedded, data, loc, n):
         # n is traced: every distinct batch count is a distinct input to ONE
         # compiled program (no recompiles, no execution memoization)
         def body(i, carry):
             batch = jax.tree.map(
                 lambda a: jax.lax.dynamic_slice_in_dim(a, i * B, B), data
             )
+            if loc:
+                batch = dict(
+                    batch,
+                    ctx_uniq_clip=loc["clip"][i],
+                    ctx_uniq_track=loc["track"][i],
+                )
             return step(params, tables, embedded, carry, batch)
 
         return jax.lax.fori_loop(0, n, body, init_carry())
@@ -195,11 +207,28 @@ def bench_e2e_eval(batch_size: int, compute_dtype: str,
     params = jax.device_put(bundle.params)
     embed_jit = jax.jit(lambda p, tb: embed_all(p, bundle.spec, tb))
 
+    # eval ctx localization (evaluation/packed._maybe_localize_eval_ctx):
+    # the exact product-path policy — fires when the embedded ctx tables
+    # exceed the kernel's VMEM budget and per-batch local tables fit it
+    from lirec_tpu.evaluation.packed import _maybe_localize_eval_ctx
+
+    loc = _maybe_localize_eval_ctx(
+        type("DS", (), {})(), data_host, embed_jit(params, tables),
+        B, N_BATCHES, t, None, localize_ctx,
+    )
+    if loc is not None:
+        data_host = dict(data_host, feat_idx=loc["feat_idx"])
+    data = {k: jnp.asarray(v) for k, v in data_host.items()}
+    loc_dev = {} if loc is None else {
+        "clip": jnp.asarray(loc["uniq_clip"]),
+        "track": jnp.asarray(loc["uniq_track"]),
+    }
+
     def run(n):
         """One complete eval of n batches; returns (seconds, metric dict)."""
         t0 = time.time()
         emb = embed_jit(params, tables)
-        carry = sweep(params, tables, emb, data, jnp.int32(n))
+        carry = sweep(params, tables, emb, data, loc_dev, jnp.int32(n))
         out = finish_from_carry(carry, t, NR, 0, "test", False)
         return time.time() - t0, out
 

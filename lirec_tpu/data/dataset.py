@@ -837,6 +837,7 @@ class InteractionDataset:
         state = dict(self.__dict__)
         state.pop("_assembly_plan", None)
         state.pop("_materialized", None)
+        state.pop("_eval_ctx_loc_cache", None)
         return state
 
     # -- precompiled epoch assembly ----------------------------------------

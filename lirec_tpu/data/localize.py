@@ -35,7 +35,10 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-__all__ = ["Localizer", "localize_batch", "batch_unique_counts"]
+__all__ = [
+    "Localizer", "localize_batch", "batch_unique_counts",
+    "localize_eval_ctx",
+]
 
 # pad capacities to multiples of this (static shapes; avoids a recompile
 # per epoch when the max unique count wobbles)
@@ -117,6 +120,47 @@ def _pad_ids(ids: np.ndarray, cap: int) -> np.ndarray:
     out = np.zeros(cap, np.int32)
     out[: ids.size] = ids
     return out
+
+
+def localize_eval_ctx(feat_idx: np.ndarray, batch_size: int, n_full: int,
+                      n_clips: int, n_tracks: int):
+    """Per-batch ctx-row localization for the packed EVAL sweep.
+
+    The fused ctx kernel (ops/gather_pool.fused_ctx_pool) is ~2.7x faster
+    when the embedded ctx tables are VMEM-resident; past real-split
+    cardinality they are not, and eval drops to the HBM-DMA tier. But a
+    batch's CONTEXT slots (feat_idx[..., 1:, :] — slot 0 is the ints/GT
+    row and stays global) reference only a few thousand unique rows, and
+    the eval split is FIXED — so the per-batch unique sets are computed
+    once here, and the sweep gathers each batch's rows into a small local
+    table the kernel keeps in VMEM at ANY table cardinality
+    (evaluation/packed.py wires it; models/factory.py applies it).
+
+    feat_idx: [N, (T,) 1+R, 3] int32 over the whole split. Returns
+    (new_feat_idx, uniq_clip [n_full, cap_c], uniq_track [n_full, cap_t])
+    where new_feat_idx's slots 1..R are remapped to local-table positions
+    for the first ``n_full * batch_size`` samples (tail rows untouched —
+    the ragged tail runs the plain path). Unique sets are computed over
+    every id present (padding included), so each remapped id is < cap.
+    """
+    fi = np.array(feat_idx, dtype=np.int32)  # copy: slots 1..R rewritten
+    ucs, uts = [], []
+    for b in range(n_full):
+        rows = fi[b * batch_size : (b + 1) * batch_size]
+        ctx = rows[..., 1:, :]
+        uc, inv_c = _unique_remap(ctx[..., 0], n_clips)
+        ut, inv_t = _unique_remap(ctx[..., 1:], n_tracks)
+        ctx[..., 0] = inv_c
+        ctx[..., 1:] = inv_t
+        ucs.append(uc)
+        uts.append(ut)
+    cap_c = max(1, -(-max(u.size for u in ucs) // 8) * 8)
+    cap_t = max(1, -(-max(u.size for u in uts) // 8) * 8)
+    return (
+        fi,
+        np.stack([_pad_ids(u, cap_c) for u in ucs]),
+        np.stack([_pad_ids(u, cap_t) for u in uts]),
+    )
 
 
 class Localizer:

@@ -206,7 +206,10 @@ def device_sweep_builder(bundle, t, n_classes: int, n_rels: int,
 
     def step(params, tables, embedded, carry, batch):
         model_batch = {
-            k: batch[k] for k in ("feat_idx", "rels_mask") if k in batch
+            k: batch[k]
+            for k in ("feat_idx", "rels_mask", "ctx_uniq_clip",
+                      "ctx_uniq_track")
+            if k in batch
         }
         out = bundle.apply(
             params, model_batch, tables=tables, embedded=embedded,
@@ -288,6 +291,78 @@ def device_sweep_builder(bundle, t, n_classes: int, n_rels: int,
     return init_carry, step
 
 
+def _maybe_localize_eval_ctx(dataset, data, embedded, B: int, n_full: int,
+                             t, use_pallas, override):
+    """Decide + compute per-batch ctx localization for the sweep.
+
+    Returns None (plain path) or {feat_idx (slots 1..R remapped for the
+    first n_full*B rows), uniq_clip [n_full, cap_c], uniq_track
+    [n_full, cap_t]}. Auto policy: localize exactly when the embedded ctx
+    tables exceed the kernel's VMEM budget (the HBM-DMA tier would run —
+    BENCH.md real-scale table) AND the per-batch local tables fit it.
+    The analysis is cached on the dataset — the eval split is fixed, so
+    the unique sets never change across cadence evals. Decision recorded
+    via ops/dispatch ('eval_ctx_localize'), never silent."""
+    import os
+
+    from lirec_tpu.ops import dispatch
+
+    if override is None:
+        override = {"on": True, "off": False}.get(
+            os.environ.get("LIREC_TPU_EVAL_LOCALIZE", "auto")
+        )
+    ctx = (embedded or {}).get("ctx")
+    if (
+        override is False or not t.ctx or ctx is None
+        or use_pallas is False or not n_full or "feat_idx" not in data
+    ):
+        return None
+    from lirec_tpu.ops.gather_pool import VMEM_TABLE_BUDGET
+
+    full_bytes = (ctx.clip.size + ctx.tr1.size + ctx.tr2.size) * 4
+    if override is not True and full_bytes < VMEM_TABLE_BUDGET:
+        return None  # already VMEM-resident: nothing to win
+    fi = np.asarray(data["feat_idx"])
+    cache = getattr(dataset, "_eval_ctx_loc_cache", None)
+    key = (fi.ctypes.data, fi.shape, B, n_full)
+    if cache is not None and cache[0] == key:
+        loc = cache[1]
+    else:
+        from lirec_tpu.data.localize import localize_eval_ctx
+
+        new_fi, uc, ut = localize_eval_ctx(
+            fi, B, n_full, ctx.clip.shape[0], ctx.tr1.shape[0]
+        )
+        loc = {"feat_idx": new_fi, "uniq_clip": uc, "uniq_track": ut}
+        try:
+            dataset._eval_ctx_loc_cache = (key, loc)
+        except AttributeError:
+            pass  # dataset without attribute support: recompute per eval
+    local_bytes = (
+        loc["uniq_clip"].shape[1] * ctx.clip.shape[1]
+        + 2 * loc["uniq_track"].shape[1] * ctx.tr1.shape[1]
+    ) * 4
+    shapes = {
+        "caps": (loc["uniq_clip"].shape[1], loc["uniq_track"].shape[1]),
+        "tables": (ctx.clip.shape[0], ctx.tr1.shape[0]),
+    }
+    if override is not True and local_bytes >= VMEM_TABLE_BUDGET:
+        dispatch.record(
+            "eval_ctx_localize", "off",
+            "local tables %.0f MB still exceed the VMEM budget"
+            % (local_bytes / 2**20), shapes,
+        )
+        return None
+    dispatch.record(
+        "eval_ctx_localize", "on",
+        "forced" if override is True else
+        "full ctx tables %.0f MB > VMEM budget; local %.0f MB fit"
+        % (full_bytes / 2**20, local_bytes / 2**20),
+        shapes,
+    )
+    return loc
+
+
 def evaluate_packed(
     dataset,
     bundle,
@@ -300,6 +375,7 @@ def evaluate_packed(
     batch_size: Optional[int] = None,
     mesh=None,
     use_pallas=None,
+    localize_ctx: Optional[bool] = None,
 ) -> Dict[str, float]:
     """One-dispatch evaluation of a whole split; returns the same metric
     dict (and prints the same lines) as runner.evaluate.
@@ -362,22 +438,43 @@ def evaluate_packed(
         use_pallas=use_pallas, data_mesh=mesh,
     )
 
+    # eval ctx localization: remapped feat_idx replaces the sweep rows
+    # (tail rows untouched); per-batch unique-id arrays ride a separate
+    # [n_full, cap] tree and replicate under a mesh
+    loc = _maybe_localize_eval_ctx(
+        dataset, data, embedded, B, n_full, t, use_pallas, localize_ctx
+    )
+    if loc is not None:
+        data = dict(data, feat_idx=loc["feat_idx"])
+
     if mesh is None:
         data_dev = {k: jnp.asarray(v) for k, v in data.items()}
+        loc_dev = {} if loc is None else {
+            "clip": jnp.asarray(loc["uniq_clip"]),
+            "track": jnp.asarray(loc["uniq_track"]),
+        }
 
         @functools.partial(jax.jit, static_argnames=("n_full",))
-        def sweep(params, tables, embedded, data, n_full):
+        def sweep(params, tables, embedded, data, loc, n_full):
             def body(i, carry):
                 batch = jax.tree.map(
                     lambda a: jax.lax.dynamic_slice_in_dim(a, i * B, B),
                     data,
                 )
+                if loc:
+                    batch = dict(
+                        batch,
+                        ctx_uniq_clip=loc["clip"][i],
+                        ctx_uniq_track=loc["track"][i],
+                    )
                 return step(params, tables, embedded, carry, batch)
 
             return jax.lax.fori_loop(0, n_full, body, init_carry())
 
         if n_full:
-            carry = sweep(params, tables, embedded, data_dev, n_full=n_full)
+            carry = sweep(
+                params, tables, embedded, data_dev, loc_dev, n_full=n_full
+            )
         else:
             # split smaller than one batch (or an empty process slice):
             # the loop body cannot even trace its B-sized slices
@@ -408,17 +505,29 @@ def evaluate_packed(
         embedded_r = jax.device_put(
             embedded, jax.tree.map(lambda _: repl, embedded)
         )
+        # per-batch unique-id arrays are batch-level (no sample axis):
+        # replicate — the local-table gather then stays replicated too
+        loc_sh = {} if loc is None else {
+            "clip": jax.device_put(loc["uniq_clip"], repl),
+            "track": jax.device_put(loc["uniq_track"], repl),
+        }
 
         @jax.jit
-        def sweep_spmd(params, tables, embedded, data):
+        def sweep_spmd(params, tables, embedded, data, loc):
             def body(i, carry):
                 batch = jax.tree.map(lambda a: a[i], data)
+                if loc:
+                    batch = dict(
+                        batch,
+                        ctx_uniq_clip=loc["clip"][i],
+                        ctx_uniq_track=loc["track"][i],
+                    )
                 return step(params, tables, embedded, carry, batch)
 
             n = next(iter(data.values())).shape[0]
             return jax.lax.fori_loop(0, n, body, init_carry())
 
-        carry = sweep_spmd(params_r, tables_r, embedded_r, data_sh)
+        carry = sweep_spmd(params_r, tables_r, embedded_r, data_sh, loc_sh)
         tail_data = {k: jnp.asarray(v) for k, v in data.items()}
         params, tables, embedded = params_r, tables_r, embedded_r
 

@@ -65,6 +65,21 @@ def apply_model(
         rels_mask = batch.get("rels_mask")
         if rels_mask is not None:
             rels_mask = jnp.asarray(rels_mask)
+        if embedded is not None and "ctx_uniq_clip" in batch:
+            # eval ctx localization (data/localize.localize_eval_ctx):
+            # feat_idx slots 1..R are already remapped to local positions;
+            # gather this batch's unique EMBEDDED ctx rows so the fused
+            # kernel sees a small VMEM-resident table at any cardinality.
+            # Slot 0 (ints/GT) stays global and reads embedded['ints'].
+            uc = jnp.asarray(batch["ctx_uniq_clip"])
+            ut = jnp.asarray(batch["ctx_uniq_track"])
+            ctx = embedded["ctx"]
+            embedded = dict(
+                embedded,
+                ctx=tabular.EmbeddedTables(
+                    clip=ctx.clip[uc], tr1=ctx.tr1[ut], tr2=ctx.tr2[ut]
+                ),
+            )
         if spec.mod_check:
             return tabular.modalities_tabular(params, spec, tables, feat_idx)
         if spec.tr_maximize:

@@ -57,6 +57,52 @@ def test_packed_matches_host_eval(synth_root, preset, mode, batch_size):
         )
 
 
+@pytest.mark.parametrize("preset,mode", [
+    ("int_rel_ch", "test"),  # maxtracks ctx path
+    ("int_rels", "val"),     # plain ctx path
+])
+def test_packed_eval_ctx_localization_exact(synth_root, preset, mode):
+    """Forced eval ctx localization (data/localize.localize_eval_ctx +
+    the ctx_uniq_* plumbing) must reproduce the plain sweep's metric dict
+    EXACTLY: gathering each batch's unique embedded rows and pooling local
+    indices is the same math in the same order."""
+    from lirec_tpu.ops import dispatch
+
+    cfg = _preset_cfg(synth_root, preset, 8)
+    ds = InteractionDataset(cfg, mode=mode)
+    ds.cache()
+    n_rels = 0
+    if cfg.tasks.rels or cfg.tasks.rels_multitask:
+        ds.init_relships()
+        n_rels = max(len(ds.rels_list) - 1, 0)
+    bundle = create_model(cfg, ds.n_classes, n_rels=n_rels)
+
+    plain = evaluate_packed(
+        ds, bundle, bundle.params, cfg, mode=mode, verbose=False,
+        localize_ctx=False,
+    )
+    localized = evaluate_packed(
+        ds, bundle, bundle.params, cfg, mode=mode, verbose=False,
+        localize_ctx=True,
+    )
+    rec = dispatch.last_dispatch("eval_ctx_localize")
+    assert rec and rec["path"] == "on" and rec["reason"] == "forced"
+    assert set(plain) == set(localized)
+    for key in plain:
+        np.testing.assert_array_equal(
+            np.asarray(localized[key]), np.asarray(plain[key]),
+            err_msg="%s/%s metric %r" % (preset, mode, key),
+        )
+    # the cached analysis is reused on a second localized eval
+    again = evaluate_packed(
+        ds, bundle, bundle.params, cfg, mode=mode, verbose=False,
+        localize_ctx=True,
+    )
+    assert {k: float(v) for k, v in again.items()} == {
+        k: float(v) for k, v in localized.items()
+    }
+
+
 def test_packed_size1_tail_skip(synth_root):
     """When N % B == 1, both paths must drop the trailing sample."""
     cfg = _preset_cfg(synth_root, "int_ch", 4)

@@ -158,6 +158,39 @@ def test_packed_eval_spmd_matches_single_device(synth_root, preset, mode):
                                    atol=1e-6, err_msg=key)
 
 
+def test_packed_eval_spmd_ctx_localization_matches(synth_root):
+    """Forced eval ctx localization under the SPMD sweep: the per-batch
+    ctx_uniq_* id arrays replicate while sample rows shard over 'data';
+    metrics must equal the plain single-device sweep exactly."""
+    from lirec_tpu import config as config_lib
+    from lirec_tpu.data import synthetic
+    from lirec_tpu.data.dataset import InteractionDataset
+    from lirec_tpu.evaluation.packed import evaluate_packed
+    from lirec_tpu.models.factory import create_model
+
+    base = synthetic.make_config(synth_root)
+    cfg = config_lib.preset("int_rel_ch", data_root=synth_root)
+    cfg = cfg.replace(dims=base.dims, paths=base.paths).with_runtime(
+        compute_dtype="float32"
+    )
+    cfg = cfg.with_optim(batch_size=8)
+    ds = InteractionDataset(cfg, mode="test")
+    ds.cache()
+    ds.init_relships()
+    n_rels = max(len(ds.rels_list) - 1, 0)
+    bundle = create_model(cfg, ds.n_classes, n_rels=n_rels)
+
+    single = evaluate_packed(ds, bundle, bundle.params, cfg, mode="test",
+                             verbose=False, localize_ctx=False)
+    mesh = make_mesh(shape=(8, 1), axis_names=("data", "model"))
+    localized = evaluate_packed(ds, bundle, bundle.params, cfg, mode="test",
+                                verbose=False, mesh=mesh, localize_ctx=True)
+    assert set(single) == set(localized)
+    for key in single:
+        np.testing.assert_allclose(localized[key], single[key], rtol=1e-6,
+                                   atol=1e-6, err_msg=key)
+
+
 def test_padded_leftover_batch_matches_ragged():
     """The padded leftover train batch (repeat row 0, loss weight 0 — what
     commit_batch does under a mesh) must produce the same loss and updated
@@ -227,10 +260,17 @@ def test_packed_eval_spmd_kernel_path_matches(synth_root):
     sharded = evaluate_packed(ds, bundle, bundle.params, cfg, mode="test",
                               verbose=False, mesh=mesh,
                               use_pallas="interpret")
+    # kernel over forced-localized ctx tables (the dims here satisfy the
+    # kernel gates, unlike the default fixture dims): still exact
+    localized = evaluate_packed(ds, bundle, bundle.params, cfg, mode="test",
+                                verbose=False, mesh=mesh,
+                                use_pallas="interpret", localize_ctx=True)
     assert set(single) == set(sharded)
     for key in single:
         np.testing.assert_allclose(sharded[key], single[key], rtol=1e-6,
                                    atol=1e-6, err_msg=key)
+        np.testing.assert_allclose(localized[key], single[key], rtol=1e-6,
+                                   atol=1e-6, err_msg="localized " + key)
 
 
 def test_cli_mesh_train_and_eval(synth_root, tmp_path):

@@ -28,7 +28,12 @@ def log(msg):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument(
+        "--batch", default="64",
+        help="batch size, or a comma-separated list (e.g. 64,256) measured "
+        "back-to-back in ONE session — the only honest way to compare "
+        "batch sizes on the shared chip (BENCH.md methodology note 3)",
+    )
     ap.add_argument("--n-clips", type=int, default=12288,
                     help="unique fused clip rows (>=10k = real test split)")
     ap.add_argument("--n-tracks", type=int, default=24576)
@@ -52,56 +57,80 @@ def main():
     import bench
     from lirec_tpu.ops import dispatch
 
+    batch_sizes = [int(b) for b in str(args.batch).split(",")]
     out = {
         "n_clips": args.n_clips,
         "n_tracks": args.n_tracks,
-        "batch": args.batch,
+        "batch": batch_sizes[0] if len(batch_sizes) == 1 else batch_sizes,
     }
 
-    if not args.skip_eval:
-        t0 = time.time()
-        stats = bench.bench_e2e_eval(
-            args.batch, args.compute_dtype,
-            n_clips=args.n_clips, n_tracks=args.n_tracks,
-            n_batches=args.n_batches,
-        )
-        ctx = dispatch.last_dispatch("fused_ctx_pool")
-        out["eval_clips_per_sec"] = round(stats["clips_per_sec"], 1)
-        out["eval_compile_s"] = stats["compile_s"]
-        out["eval_ctx_dispatch"] = ctx
-        log(
-            "EVAL  %.1fk clips/sec at %d clip rows / %d track rows; "
-            "ctx kernel -> %s (%s)  [%.0fs]"
-            % (stats["clips_per_sec"] / 1e3, args.n_clips, args.n_tracks,
-               ctx and ctx["path"], ctx and ctx["reason"],
-               time.time() - t0)
-        )
+    for B in batch_sizes:
+        suffix = "" if len(batch_sizes) == 1 else "_b%d" % B
 
-    if not args.skip_train:
-        # tools/bench_train.measure_modes hard-codes 2048/4096 tables;
-        # run the same 'full' sweep at the stress cardinalities instead
-        variants = (
-            (False, True) if args.localize == "ablate"
-            else (args.localize == "on",)
-        )
-        for localize in variants:
-            res = _train_at_scale(args, localize=localize)
-            key = "train_localized" if localize else "train"
-            out[key] = res
-            sc = dispatch.last_dispatch("scatter_accum")
-            out[key + "_scatter_dispatch"] = sc
-            log(
-                "TRAIN%s %.2f ms/step; scatter -> %s (%s)"
-                % (
-                    " (localized)" if localize else "",
-                    res["ms"], sc and sc["path"], sc and sc["reason"],
-                )
+        if not args.skip_eval:
+            # --localize ablate measures eval with localization OFF then
+            # AUTO in the same session (auto == off below the VMEM gate,
+            # where the second run just confirms the dispatch decision)
+            ev_variants = (
+                ((False, ""), (None, "_loc")) if args.localize == "ablate"
+                else (({"on": True, "off": False}[args.localize], ""),)
             )
+            for loc_flag, lsuf in ev_variants:
+                t0 = time.time()
+                stats = bench.bench_e2e_eval(
+                    B, args.compute_dtype,
+                    n_clips=args.n_clips, n_tracks=args.n_tracks,
+                    n_batches=args.n_batches,
+                    structured=not args.iid_batches,
+                    localize_ctx=loc_flag,
+                )
+                ctx = dispatch.last_dispatch("fused_ctx_pool")
+                locd = dispatch.last_dispatch("eval_ctx_localize")
+                key = "eval" + lsuf + suffix
+                out[key + "_clips_per_sec"] = round(
+                    stats["clips_per_sec"], 1
+                )
+                out[key + "_compile_s"] = stats["compile_s"]
+                out[key + "_ctx_dispatch"] = ctx
+                out[key + "_ctx_localize"] = locd
+                log(
+                    "EVAL%s B=%d %.1fk clips/sec at %d clip rows / %d "
+                    "track rows; ctx kernel -> %s (%s); localize -> %s  "
+                    "[%.0fs]"
+                    % (lsuf, B, stats["clips_per_sec"] / 1e3, args.n_clips,
+                       args.n_tracks, ctx and ctx["path"],
+                       ctx and ctx["reason"],
+                       locd and "%s (%s)" % (locd["path"], locd["reason"]),
+                       time.time() - t0)
+                )
+
+        if not args.skip_train:
+            # tools/bench_train.measure_modes hard-codes 2048/4096 tables;
+            # run the same 'full' sweep at the stress cardinalities instead
+            variants = (
+                (False, True) if args.localize == "ablate"
+                else (args.localize == "on",)
+            )
+            for localize in variants:
+                res = _train_at_scale(args, B, localize=localize)
+                key = ("train_localized" if localize else "train") + suffix
+                out[key] = res
+                sc = dispatch.last_dispatch("scatter_accum")
+                out[key + "_scatter_dispatch"] = sc
+                log(
+                    "TRAIN B=%d%s %.2f ms/step (%.1fk clips/sec); "
+                    "scatter -> %s (%s)"
+                    % (
+                        B, " (localized)" if localize else "",
+                        res["ms"], B / res["ms"],
+                        sc and sc["path"], sc and sc["reason"],
+                    )
+                )
 
     print(json.dumps(out))
 
 
-def _train_at_scale(args, localize: bool = False):
+def _train_at_scale(args, B: int, localize: bool = False):
     """Full train step (fwd+loss+bwd+Adam) slope-timed at the stress
     cardinalities — the tools/bench_train.py 'full' mode with big tables."""
     import jax
@@ -123,7 +152,6 @@ def _train_at_scale(args, localize: bool = False):
     tables = jax.tree.map(
         jnp.asarray, make_tables(bundle.spec, n_clips, n_tracks)
     )
-    B = args.batch
     make = make_batch if args.iid_batches else make_structured_batch
     batches = [
         make(bundle.spec, B, n_clips, n_tracks, seed=s) for s in range(4)
