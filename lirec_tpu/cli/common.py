@@ -102,6 +102,14 @@ def build_parser(preset_name: str) -> argparse.ArgumentParser:
                         "unique table rows so the first-layer GEMMs run "
                         "at batch size, not table size. auto = on when "
                         "profitable at the split's cardinality")
+    p.add_argument("--eval-localize", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="eval ctx localization (evaluation/packed.py): "
+                        "gather each batch's unique embedded ctx rows "
+                        "into a VMEM-resident local table. auto = on "
+                        "exactly when the full tables exceed the fused "
+                        "kernel's VMEM budget; metrics are identical "
+                        "either way")
     p.add_argument("--per-batch-train", action="store_true",
                    help="dispatch one device step per batch with the "
                         "reference's per-iteration telemetry prints, "
@@ -366,6 +374,9 @@ def run_entry(preset_name: str, argv=None) -> dict:
             localize_tables={"auto": None, "on": True, "off": False}[
                 args.localize_tables
             ],
+            eval_localize={"auto": None, "on": True, "off": False}[
+                args.eval_localize
+            ],
         )
         params = out["params"]
         results["train"] = {
@@ -381,6 +392,9 @@ def run_entry(preset_name: str, argv=None) -> dict:
             from lirec_tpu.evaluation.packed import evaluate_packed as eval_fn
 
             eval_kw["mesh"] = mesh
+            eval_kw["localize_ctx"] = {
+                "auto": None, "on": True, "off": False
+            }[args.eval_localize]
         if verbose:
             print("testing on validation set")
         results["val"] = _traced(

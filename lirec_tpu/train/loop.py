@@ -197,6 +197,7 @@ def train(
     sweep_max_steps: int = 512,
     assembly_workers: int = 0,
     localize_tables: Optional[bool] = None,
+    eval_localize: Optional[bool] = None,
 ) -> Dict:
     """Run the epoch loop; returns {'params', 'opt_state', 'saver',
     'final_path'} (control flow: ref mlp/train.py:41-107).
@@ -379,6 +380,7 @@ def train(
         return evaluate_packed(
             ds, bundle, params, cfg, mode=mode, tables=tables,
             verbose=verbose, data=data, mesh=mesh,
+            localize_ctx=eval_localize,
         )
 
     def log(msg):
