@@ -324,9 +324,11 @@ def _maybe_localize_eval_ctx(dataset, data, embedded, B: int, n_full: int,
         return None  # already VMEM-resident: nothing to win
     fi = np.asarray(data["feat_idx"])
     cache = getattr(dataset, "_eval_ctx_loc_cache", None)
-    key = (fi.ctypes.data, fi.shape, B, n_full)
-    if cache is not None and cache[0] == key:
-        loc = cache[1]
+    # keyed on the ARRAY OBJECT (materialize() caches and returns the same
+    # dict each call) — an address-based key could go stale if a freed
+    # array's storage were reused
+    if cache is not None and cache[0] is fi and cache[1] == (B, n_full):
+        loc = cache[2]
     else:
         from lirec_tpu.data.localize import localize_eval_ctx
 
@@ -335,7 +337,7 @@ def _maybe_localize_eval_ctx(dataset, data, embedded, B: int, n_full: int,
         )
         loc = {"feat_idx": new_fi, "uniq_clip": uc, "uniq_track": ut}
         try:
-            dataset._eval_ctx_loc_cache = (key, loc)
+            dataset._eval_ctx_loc_cache = (fi, (B, n_full), loc)
         except AttributeError:
             pass  # dataset without attribute support: recompute per eval
     local_bytes = (
