@@ -186,6 +186,8 @@ def bench_e2e_eval(batch_size: int, compute_dtype: str,
     t = cfg.tasks
     init_carry, step = device_sweep_builder(bundle, t, C, NR, 0)
 
+    from lirec_tpu.evaluation.packed import inject_loc
+
     @jax.jit
     def sweep(params, tables, embedded, data, loc, n):
         # n is traced: every distinct batch count is a distinct input to ONE
@@ -194,12 +196,7 @@ def bench_e2e_eval(batch_size: int, compute_dtype: str,
             batch = jax.tree.map(
                 lambda a: jax.lax.dynamic_slice_in_dim(a, i * B, B), data
             )
-            if loc:
-                batch = dict(
-                    batch,
-                    ctx_uniq_clip=loc["clip"][i],
-                    ctx_uniq_track=loc["track"][i],
-                )
+            batch = inject_loc(batch, loc, i)
             return step(params, tables, embedded, carry, batch)
 
         return jax.lax.fori_loop(0, n, body, init_carry())

@@ -335,9 +335,24 @@ def _collate_prealloc(ds, stub) -> Dict[str, np.ndarray]:
         )
         out[key] = np.empty((n,) + val.shape, dt)
         out[key][0] = val
+    nkeys = len(out)
     for i in range(1, n):
         sample = ds.__getitem__(i, stub)
+        # collate() raised on any per-sample surprise (missing key, shape
+        # mismatch) and build_plan fell back to the per-sample path; a
+        # silent np.empty row of garbage must never replace that, so the
+        # guards stay explicit (broadcast assignment would accept scalars)
+        if len(sample) != nkeys:
+            raise KeyError(
+                "sample %d keys %s != sample 0 keys %s"
+                % (i, sorted(sample), sorted(out))
+            )
         for key, val in sample.items():
+            if np.shape(val) != out[key].shape[1:]:
+                raise ValueError(
+                    "sample %d key %r shape %s != %s"
+                    % (i, key, np.shape(val), out[key].shape[1:])
+                )
             out[key][i] = val
     return out
 

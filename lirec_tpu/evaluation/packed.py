@@ -291,6 +291,16 @@ def device_sweep_builder(bundle, t, n_classes: int, n_rels: int,
     return init_carry, step
 
 
+def inject_loc(batch: Dict, loc: Dict, i):
+    """Add batch i's ctx localization ids (no-op on an empty loc tree).
+    Shared by both sweeps here and bench.py's slope-timed sweep."""
+    if not loc:
+        return batch
+    return dict(
+        batch, ctx_uniq_clip=loc["clip"][i], ctx_uniq_track=loc["track"][i]
+    )
+
+
 def _maybe_localize_eval_ctx(dataset, data, embedded, B: int, n_full: int,
                              t, use_pallas, override):
     """Decide + compute per-batch ctx localization for the sweep.
@@ -312,34 +322,77 @@ def _maybe_localize_eval_ctx(dataset, data, embedded, B: int, n_full: int,
             os.environ.get("LIREC_TPU_EVAL_LOCALIZE", "auto")
         )
     ctx = (embedded or {}).get("ctx")
-    if (
-        override is False or not t.ctx or ctx is None
-        or use_pallas is False or not n_full or "feat_idx" not in data
-    ):
+    if not t.ctx or ctx is None or not n_full or "feat_idx" not in data:
+        return None  # structurally inapplicable: nothing to decide
+    if override is False or use_pallas is False:
+        dispatch.record("eval_ctx_localize", "off", "forced", {})
         return None
     from lirec_tpu.ops.gather_pool import VMEM_TABLE_BUDGET
 
-    full_bytes = (ctx.clip.size + ctx.tr1.size + ctx.tr2.size) * 4
-    if override is not True and full_bytes < VMEM_TABLE_BUDGET:
-        return None  # already VMEM-resident: nothing to win
     fi = np.asarray(data["feat_idx"])
+    full_bytes = (ctx.clip.size + ctx.tr1.size + ctx.tr2.size) * 4
+    if override is not True:
+        if full_bytes < VMEM_TABLE_BUDGET:
+            return None  # already VMEM-resident: nothing to win (the
+            # kernel dispatch itself logs the tier that runs)
+        # only worth it where the fused kernel can actually run on the
+        # LOCAL tables — otherwise the jnp path would pay an extra gather
+        M = int(np.prod(fi.shape[:-2], dtype=np.int64))
+        kernel_viable = (
+            jax.default_backend() == "tpu"
+            and M % 8 == 0
+            and ctx.clip.shape[1] % 128 == 0
+            and ctx.tr1.shape[1] % 128 == 0
+        )
+        if not kernel_viable:
+            dispatch.record(
+                "eval_ctx_localize", "off",
+                "kernel not viable here (backend/shape gates): localizing "
+                "would only add a gather", {"M": M},
+            )
+            return None
     cache = getattr(dataset, "_eval_ctx_loc_cache", None)
     # keyed on the ARRAY OBJECT (materialize() caches and returns the same
-    # dict each call) — an address-based key could go stale if a freed
-    # array's storage were reused
-    if cache is not None and cache[0] is fi and cache[1] == (B, n_full):
-        loc = cache[2]
-    else:
-        from lirec_tpu.data.localize import localize_eval_ctx
+    # dict each call) with a content-digest fallback for callers that
+    # re-slice fresh arrays each eval (the multi-process recursion) — an
+    # address-based key could go stale if a freed array's storage were
+    # reused, and recomputing every cadence eval copies the whole split
+    digest = None
+    if cache is not None and cache[1] == (B, n_full, fi.shape):
+        if cache[0] is fi:
+            loc = cache[2]
+            return _gate_local(loc, ctx, override, full_bytes, dispatch)
+        import hashlib
 
-        new_fi, uc, ut = localize_eval_ctx(
-            fi, B, n_full, ctx.clip.shape[0], ctx.tr1.shape[0]
-        )
-        loc = {"feat_idx": new_fi, "uniq_clip": uc, "uniq_track": ut}
-        try:
-            dataset._eval_ctx_loc_cache = (fi, (B, n_full), loc)
-        except AttributeError:
-            pass  # dataset without attribute support: recompute per eval
+        digest = hashlib.blake2b(
+            np.ascontiguousarray(fi), digest_size=16
+        ).digest()
+        if cache[3] == digest:
+            loc = cache[2]
+            return _gate_local(loc, ctx, override, full_bytes, dispatch)
+    from lirec_tpu.data.localize import localize_eval_ctx
+
+    new_fi, uc, ut = localize_eval_ctx(
+        fi, B, n_full, ctx.clip.shape[0], ctx.tr1.shape[0]
+    )
+    loc = {"feat_idx": new_fi, "uniq_clip": uc, "uniq_track": ut}
+    if digest is None:
+        import hashlib
+
+        digest = hashlib.blake2b(
+            np.ascontiguousarray(fi), digest_size=16
+        ).digest()
+    try:
+        dataset._eval_ctx_loc_cache = (fi, (B, n_full, fi.shape), loc, digest)
+    except AttributeError:
+        pass  # dataset without attribute support: recompute per eval
+    return _gate_local(loc, ctx, override, full_bytes, dispatch)
+
+
+def _gate_local(loc, ctx, override, full_bytes, dispatch):
+    """Final profitability gate + dispatch record for a computed loc."""
+    from lirec_tpu.ops.gather_pool import VMEM_TABLE_BUDGET
+
     local_bytes = (
         loc["uniq_clip"].shape[1] * ctx.clip.shape[1]
         + 2 * loc["uniq_track"].shape[1] * ctx.tr1.shape[1]
@@ -425,7 +478,7 @@ def evaluate_packed(
         return evaluate_packed(
             dataset, bundle, host_copy(params), cfg, mode=mode,
             tables=host_copy(tables), verbose=verbose, data=local,
-            batch_size=B,
+            batch_size=B, use_pallas=use_pallas, localize_ctx=localize_ctx,
         )
 
     tables = jax.tree.map(jnp.asarray, tables)
@@ -463,12 +516,7 @@ def evaluate_packed(
                     lambda a: jax.lax.dynamic_slice_in_dim(a, i * B, B),
                     data,
                 )
-                if loc:
-                    batch = dict(
-                        batch,
-                        ctx_uniq_clip=loc["clip"][i],
-                        ctx_uniq_track=loc["track"][i],
-                    )
+                batch = inject_loc(batch, loc, i)
                 return step(params, tables, embedded, carry, batch)
 
             return jax.lax.fori_loop(0, n_full, body, init_carry())
@@ -499,6 +547,7 @@ def evaluate_packed(
             return evaluate_packed(
                 dataset, bundle, params, cfg, mode=mode, tables=tables,
                 verbose=verbose, data=data, batch_size=B,
+                use_pallas=use_pallas, localize_ctx=localize_ctx,
             )
         data_sh = {k: shard_batched(v) for k, v in data.items()}
         repl = NamedSharding(mesh, P())
@@ -517,13 +566,7 @@ def evaluate_packed(
         @jax.jit
         def sweep_spmd(params, tables, embedded, data, loc):
             def body(i, carry):
-                batch = jax.tree.map(lambda a: a[i], data)
-                if loc:
-                    batch = dict(
-                        batch,
-                        ctx_uniq_clip=loc["clip"][i],
-                        ctx_uniq_track=loc["track"][i],
-                    )
+                batch = inject_loc(jax.tree.map(lambda a: a[i], data), loc, i)
                 return step(params, tables, embedded, carry, batch)
 
             n = next(iter(data.values())).shape[0]
