@@ -110,22 +110,112 @@ class _PoolBuilder:
         return np.concatenate(self.chunks)
 
 
+class _LazyPrograms:
+    """Mapping sample-id -> site list, decoded on demand from the flat
+    int64 `encoded()` blob (disk-cached plans skip the Python build
+    entirely; the numpy executor is the only consumer that needs decoded
+    sites, and it only ever asks for the samples it touches)."""
+
+    def __init__(self, code: np.ndarray, prog_off: np.ndarray,
+                 sample_ids: np.ndarray):
+        self._code = code
+        self._off = {int(i): int(o) for i, o in zip(sample_ids, prog_off)}
+        self._decoded: Dict[int, List[_Site]] = {}
+
+    def __contains__(self, i) -> bool:
+        return i in self._off
+
+    def __len__(self) -> int:
+        return len(self._off)
+
+    def __iter__(self):
+        return iter(self._off)
+
+    def __getitem__(self, i: int) -> List[_Site]:
+        sites = self._decoded.get(i)
+        if sites is None:
+            sites = _decode_sample(self._code, self._off[i])
+            self._decoded[i] = sites
+        return sites
+
+
+_OP_LEN = {OP_SET: 4, OP_BLOCK: 5, OP_GATHER: 6}
+
+
+def _decode_sample(code: np.ndarray, p: int) -> List[_Site]:
+    """Inverse of `AssemblyPlan.encoded()` for one sample's blob."""
+    sites: List[_Site] = []
+    n_sites = int(code[p])
+    p += 1
+    for _ in range(n_sites):
+        header = p
+        L = int(code[p])
+        n_outc = int(code[p + 1])
+        end_rel = int(code[p + 2])
+        outcomes: List[Tuple[int, List[tuple]]] = []
+        for oi in range(n_outc):
+            q = header + int(code[p + 3 + oi])
+            choice_len = int(code[q])
+            n_ops = int(code[q + 1])
+            q += 2
+            ops: List[tuple] = []
+            for _ in range(n_ops):
+                ln = _OP_LEN[int(code[q])]
+                ops.append(tuple(int(x) for x in code[q : q + ln]))
+                q += ln
+            outcomes.append((choice_len, ops))
+        sites.append(_Site(L, outcomes))
+        p = header + end_rel
+    return sites
+
+
 class AssemblyPlan:
     def __init__(
         self,
         static: Dict[str, np.ndarray],
-        programs: Dict[int, List[_Site]],
+        programs,
         pool: np.ndarray,
         strides: Dict[str, int],
         n_samples: int,
     ):
         self.static = static
-        self.programs = programs  # sample idx -> site list
+        self.programs = programs  # sample idx -> site list (dict or lazy)
         self.pool = pool
         self.strides = strides  # flat int32 elements per sample, per array
         self.n_samples = n_samples
         self._encoded = None
         self.last_engine = None  # 'native' | 'numpy' (observability)
+
+    @classmethod
+    def from_encoded(
+        cls,
+        static: Dict[str, np.ndarray],
+        code: np.ndarray,
+        prog_off: np.ndarray,
+        sample_ids: np.ndarray,
+        pool: np.ndarray,
+        n_samples: int,
+    ) -> "AssemblyPlan":
+        """Rebuild a plan from its serialized arrays (data/plan_cache.py)
+        without re-running the Python site enumeration."""
+        strides = {
+            k: int(np.prod(static[k].shape[1:], dtype=np.int64))
+            for k in PATCH_ARRAYS
+            if k in static
+        }
+        plan = cls(
+            static,
+            _LazyPrograms(code, prog_off, sample_ids),
+            pool,
+            strides,
+            n_samples,
+        )
+        plan._encoded = (
+            np.ascontiguousarray(code, dtype=np.int64),
+            np.ascontiguousarray(prog_off, dtype=np.int64),
+            {int(i): n for n, i in enumerate(sample_ids)},
+        )
+        return plan
 
     @property
     def n_dynamic(self) -> int:

@@ -81,6 +81,10 @@ def run_one_path(args) -> None:
 
     if args.path == "plan-numpy":
         os.environ["LIREC_TPU_NO_NATIVE"] = "1"
+    if args.path in ("plan-numpy", "plan-native"):
+        # keep these rows measuring the in-memory BUILD (r4-comparable);
+        # the disk cache gets its own row below
+        os.environ["LIREC_TPU_NO_PLAN_CACHE"] = "1"
     cfg, ds = build_dataset(
         args.root, args.movies, args.scenes, args.extra_rel_p
     )
@@ -89,9 +93,19 @@ def run_one_path(args) -> None:
         kw = dict(fast_assembly=False)
     elif args.path == "workers":
         kw = dict(fast_assembly=False, workers=args.workers)
+    if args.path == "plan-cache":
+        # cold build+save (untimed), then time what a SECOND process pays:
+        # fingerprint + npz load + bitwise spot check (data/plan_cache.py)
+        ds.assembly_plan()
+        ds._assembly_plan = None
     t0 = time.time()
     plan = ds.assembly_plan() if args.path.startswith("plan") else None
     build_s = time.time() - t0
+    if args.path == "plan-cache":
+        from lirec_tpu.ops import dispatch
+
+        d = dispatch.last_dispatch("assembly_plan_cache")
+        assert d and d["reason"] == "hit+verified", d
     it = BatchIterator(ds, args.batch, shuffle=True, seed=3, **kw)
     run_epochs(it, 2)  # warm (pool spawn, program encode, GC settling)
     dt = run_epochs(it, args.epochs)
@@ -131,7 +145,7 @@ def main():
     import subprocess
 
     paths = ([] if args.skip_slow else ["per-sample", "workers"]) + [
-        "plan-numpy", "plan-native",
+        "plan-numpy", "plan-native", "plan-cache",
     ]
     rows = []
     for path in paths:
@@ -171,6 +185,12 @@ def main():
         "\nplan build (one-time): %.1fs; engine %s; B=%d"
         % (native[2], native[3], args.batch)
     )
+    cached = [r for r in rows if r[0] == "plan-cache"]
+    if cached:
+        print(
+            "plan disk-cache warm load (any later process): %.1fs"
+            % cached[0][2]
+        )
 
 
 if __name__ == "__main__":
