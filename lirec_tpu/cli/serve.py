@@ -61,7 +61,24 @@ class InferenceEngine:
             )
             return out["inters"], out.get("rels")
 
-        self._forward = forward
+        self._forward_jit = forward
+        # per-bucket AOT executable cache: a restarted server pays ~0.1 s
+        # per warmed bucket instead of the remote compile (~2 min each
+        # through the tunnel) — utils/aot_cache.py
+        self._compiled = {}
+
+    def _forward(self, params, feat_idx, rels_mask, tables, embedded):
+        from lirec_tpu.utils import aot_cache
+
+        key = (feat_idx.shape, rels_mask.shape)
+        fn = self._compiled.get(key)
+        if fn is None:
+            fn = aot_cache.cached_compile(
+                self._forward_jit, params, feat_idx, rels_mask, tables,
+                embedded, label="serve_forward",
+            )
+            self._compiled[key] = fn
+        return fn(params, feat_idx, rels_mask, tables, embedded)
 
     def _bucket(self, n: int) -> int:
         return min(1 << max(0, (n - 1)).bit_length(), self.max_batch)

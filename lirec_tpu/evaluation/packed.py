@@ -484,10 +484,15 @@ def evaluate_packed(
     tables = jax.tree.map(jnp.asarray, tables)
 
     from lirec_tpu.models.tabular import embed_all
+    from lirec_tpu.utils import aot_cache
 
-    embedded = jax.jit(lambda p, tb: embed_all(p, bundle.spec, tb))(
-        params, tables
-    )
+    embed_jit = jax.jit(lambda p, tb: embed_all(p, bundle.spec, tb))
+    if mesh is None:
+        embedded = aot_cache.cached_compile(
+            embed_jit, params, tables, label="embed_all"
+        )(params, tables)
+    else:
+        embedded = embed_jit(params, tables)
     init_carry, step = device_sweep_builder(
         bundle, t, n_classes, n_rels, n_hashes,
         use_pallas=use_pallas, data_mesh=mesh,
@@ -522,9 +527,12 @@ def evaluate_packed(
             return jax.lax.fori_loop(0, n_full, body, init_carry())
 
         if n_full:
-            carry = sweep(
-                params, tables, embedded, data_dev, loc_dev, n_full=n_full
-            )
+            # AOT executable cache: dodges the remote compile-at-load that
+            # dominates cold starts on the axon backend (utils/aot_cache.py)
+            carry = aot_cache.cached_compile(
+                sweep, params, tables, embedded, data_dev, loc_dev,
+                label="eval_sweep", n_full=n_full,
+            )(params, tables, embedded, data_dev, loc_dev)
         else:
             # split smaller than one batch (or an empty process slice):
             # the loop body cannot even trace its B-sized slices
@@ -585,7 +593,14 @@ def evaluate_packed(
             _, tail_step = device_sweep_builder(
                 bundle, t, n_classes, n_rels, n_hashes, use_pallas=False,
             )
-        carry = jax.jit(tail_step)(params, tables, embedded, carry, tail_batch)
+        tail_jit = jax.jit(tail_step)
+        if mesh is None:
+            carry = aot_cache.cached_compile(
+                tail_jit, params, tables, embedded, carry, tail_batch,
+                label="eval_tail",
+            )(params, tables, embedded, carry, tail_batch)
+        else:
+            carry = tail_jit(params, tables, embedded, carry, tail_batch)
     # multi-host: each process evaluates its own data shard on its local
     # devices; the counters reduce across processes here (no-op otherwise)
     carry = allreduce_carry(carry)

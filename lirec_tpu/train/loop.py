@@ -119,6 +119,34 @@ def make_epoch_sweep(bundle, tx, mesh=None):
     return sweep
 
 
+def _aot_wrap_sweep(jitted_sweep):
+    """Route the epoch sweep through the AOT executable cache
+    (utils/aot_cache.py — dodges the remote compile-at-load on cold
+    starts). Memoized per (n_steps, curriculum flag) so each distinct
+    sweep shape lowers once per process, exactly like jit's own cache."""
+    from lirec_tpu.utils import aot_cache
+
+    memo = {}
+
+    def call(params, opt_state, stacked, tables, base_rng, rng_offset,
+             tr_sum_max_flag=True):
+        key = (
+            stacked["labels"].shape[0], bool(tr_sum_max_flag),
+            tuple(sorted(stacked)),
+        )
+        fn = memo.get(key)
+        if fn is None:
+            fn = aot_cache.cached_compile(
+                jitted_sweep, params, opt_state, stacked, tables,
+                base_rng, rng_offset, label="train_sweep",
+                tr_sum_max_flag=bool(tr_sum_max_flag),
+            )
+            memo[key] = fn
+        return fn(params, opt_state, stacked, tables, base_rng, rng_offset)
+
+    return call
+
+
 def _pad_batch(batch, full_batch: int):
     """Pad a ragged batch to the full batch size by repeating row 0 with
     ``loss_weight`` 0 — one compiled shape per epoch, and the padded rows
@@ -296,6 +324,8 @@ def train(
         epoch_sweep and not dense and (not multiprocess or mesh is not None)
     )
     sweep = make_epoch_sweep(bundle, tx, mesh=mesh) if use_sweep else None
+    if sweep is not None and mesh is None:
+        sweep = _aot_wrap_sweep(sweep)
 
     def commit_stacked(stacked):
         if mesh is None:

@@ -1,0 +1,175 @@
+"""On-disk AOT executable cache: bound the cold-start compile to once ever.
+
+The axon TPU backend's remote compile-at-load is the dominant cold-start
+cost (144-1813 s for the e2e eval sweep, hour-to-hour service variance),
+and the jax persistent compilation cache does NOT dodge it for large
+programs — a warm cache hit still pays the remote executable load
+(BENCH.md "Cold compile"). What DOES dodge it: PJRT executable
+serialization. `tools/probe_aot_e2e.py` measured the flagship sweep
+deserializing + running in a fresh process in **0.05 s** against a
+same-session 2.2 s compile (and multi-minute service-cold compiles).
+
+`cached_compile(jitted, *args, label=..., **lower_kwargs)` is the
+product hook: it lowers (same tracing cost jit would pay), keys a cache
+file on the hash of the lowered StableHLO + jax/jaxlib versions + device
+fingerprint, and either deserializes the executable or compiles and
+serializes it. Any failure falls back to the plain compile — and every
+decision is recorded via ops.dispatch ("aot_cache"), never silent.
+
+Scope guards:
+- keyed on the exact lowered program: a code change reshapes the
+  StableHLO and misses cleanly;
+- the device fingerprint (platform, device kind, device count) keeps an
+  executable from ever loading on different hardware;
+- multi-process runs bypass the cache (executables embed device
+  assignments; process-local cache hits could skew collective timing).
+
+Enablement: LIREC_TPU_AOT=1 forces on, =0 forces off; default ON for
+TPU-class backends (axon/tpu), OFF for CPU (tests force it on with the
+env + LIREC_TPU_AOT_DIR). Files live in ~/.cache/lirec_tpu_aot.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import uuid
+from typing import Optional
+
+from lirec_tpu.ops import dispatch
+
+__all__ = ["cached_compile", "enabled", "cache_dir"]
+
+_SCHEMA = 1
+
+
+def enabled() -> Optional[bool]:
+    env = os.environ.get("LIREC_TPU_AOT")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return None  # decide per-backend at call time
+
+
+def cache_dir() -> str:
+    return os.environ.get(
+        "LIREC_TPU_AOT_DIR", os.path.expanduser("~/.cache/lirec_tpu_aot")
+    )
+
+
+def _device_fingerprint(jax) -> str:
+    devs = jax.devices()
+    return "%s:%s:%d" % (
+        jax.default_backend(), devs[0].device_kind, len(devs)
+    )
+
+
+def _backend_default_on(jax) -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
+def cached_compile(jitted, *args, label: str = "fn", **lower_kwargs):
+    """`jitted.lower(*args, **lower_kwargs).compile()` with an on-disk
+    executable cache. Returns a callable taking the same dynamic args.
+
+    `jitted` must be a `jax.jit`-wrapped function; static args go in
+    `lower_kwargs` (they are baked into the executable — call the result
+    with the dynamic args only).
+    """
+    import jax
+
+    on = enabled()
+    if on is None:
+        on = _backend_default_on(jax)
+    if not on or jax.process_count() > 1:
+        reason = "disabled" if not on else "multi-process"
+        dispatch.record("aot_cache", "compile", reason, {"label": label})
+        return jitted.lower(*args, **lower_kwargs).compile()
+
+    lowered = jitted.lower(*args, **lower_kwargs)
+    try:
+        ir = lowered.as_text()
+        h = hashlib.blake2b(digest_size=16)
+        h.update(ir.encode())
+        h.update(jax.__version__.encode())
+        import jaxlib
+
+        h.update(getattr(jaxlib, "__version__", "?").encode())
+        h.update(_device_fingerprint(jax).encode())
+        h.update(b"schema%d" % _SCHEMA)
+        key = h.hexdigest()
+    except Exception:
+        dispatch.record("aot_cache", "compile", "unhashable",
+                        {"label": label})
+        return lowered.compile()
+
+    path = os.path.join(cache_dir(), "%s-%s.bin" % (label, key))
+    if os.path.exists(path):
+        try:
+            from jax.experimental import serialize_executable
+
+            with open(path, "rb") as fh:
+                p = pickle.load(fh)
+            # the executable embeds its device assignment: load it onto
+            # the SAME device set it was built for (the default would be
+            # every backend device — wrong under a virtual-device mesh)
+            by_id = {d.id: d for d in jax.devices()}
+            exec_devices = [by_id[i] for i in p["device_ids"]]
+            loaded = serialize_executable.deserialize_and_load(
+                p["serialized"], p["in_tree"], p["out_tree"],
+                execution_devices=exec_devices,
+            )
+            dispatch.record("aot_cache", "deserialize", "hit",
+                            {"label": label, "mb": round(
+                                os.path.getsize(path) / 1e6, 1)})
+            return loaded
+        except Exception as e:
+            dispatch.record("aot_cache", "compile", "load-failed:%s"
+                            % type(e).__name__, {"label": label})
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+
+    # On XLA:CPU, serializing an executable the persistent HLO cache
+    # materialized from a machine-feature-mismatched AOT entry yields a
+    # blob whose functions fail to resolve at buffer fetch ("Buffer
+    # Definition Event: Function ... not found"). Compile genuinely
+    # (persistent cache bypassed) when we are about to serialize there.
+    cpu = jax.default_backend() == "cpu"
+    prev = None
+    if cpu:
+        try:
+            prev = jax.config.jax_enable_compilation_cache
+            jax.config.update("jax_enable_compilation_cache", False)
+        except Exception:
+            prev = None
+    try:
+        compiled = lowered.compile()
+    finally:
+        if prev is not None:
+            jax.config.update("jax_enable_compilation_cache", prev)
+    try:
+        from jax.experimental import serialize_executable
+
+        serialized, in_tree, out_tree = serialize_executable.serialize(
+            compiled
+        )
+        device_ids = [
+            d.id
+            for d in compiled._executable.xla_executable.local_devices()
+        ]
+        os.makedirs(cache_dir(), exist_ok=True)
+        tmp = "%s.tmp.%d.%s" % (path, os.getpid(), uuid.uuid4().hex[:8])
+        with open(tmp, "wb") as fh:
+            pickle.dump(
+                {"serialized": serialized, "in_tree": in_tree,
+                 "out_tree": out_tree, "device_ids": device_ids}, fh,
+            )
+        os.replace(tmp, path)
+        dispatch.record("aot_cache", "compile", "saved",
+                        {"label": label, "mb": round(len(serialized) / 1e6, 1)})
+    except Exception as e:
+        dispatch.record("aot_cache", "compile", "unserializable:%s"
+                        % type(e).__name__, {"label": label})
+    return compiled

@@ -1,0 +1,172 @@
+"""AOT executable cache (utils/aot_cache.py):
+
+1. round-trip: first cached_compile compiles + saves, a second (fresh
+   jit object, same program) deserializes — dispatch-recorded, outputs
+   bitwise-equal;
+2. keying: different static args / different programs get different
+   files; corrupted files fall back to compile and are replaced;
+3. enablement: default OFF on the CPU backend, env forces both ways;
+4. integration: evaluate_packed and the train epoch sweep produce
+   identical results with the cache on (cold and warm) as with it off.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from lirec_tpu.ops import dispatch
+from lirec_tpu.utils import aot_cache
+
+
+@pytest.fixture()
+def aot_dir(tmp_path, monkeypatch):
+    d = str(tmp_path / "aot")
+    monkeypatch.setenv("LIREC_TPU_AOT", "1")
+    monkeypatch.setenv("LIREC_TPU_AOT_DIR", d)
+    return d
+
+
+def _fn():
+    return jax.jit(lambda x, w: jnp.tanh(x @ w).sum(axis=-1))
+
+
+def test_round_trip_and_hit(aot_dir):
+    x = jnp.ones((8, 16), jnp.float32)
+    w = jnp.ones((16, 16), jnp.float32)
+    c1 = aot_cache.cached_compile(_fn(), x, w, label="t1")
+    d = dispatch.last_dispatch("aot_cache")
+    assert d["path"] == "compile" and d["reason"] == "saved"
+    files = os.listdir(aot_dir)
+    assert len(files) == 1 and files[0].startswith("t1-")
+    out1 = np.asarray(c1(x, w))
+
+    c2 = aot_cache.cached_compile(_fn(), x, w, label="t1")
+    d = dispatch.last_dispatch("aot_cache")
+    assert d["path"] == "deserialize" and d["reason"] == "hit"
+    np.testing.assert_array_equal(out1, np.asarray(c2(x, w)))
+
+
+def test_static_args_key_separately(aot_dir):
+    f = jax.jit(lambda x, n: x * n, static_argnames=("n",))
+    x = jnp.ones((4,), jnp.float32)
+    c2 = aot_cache.cached_compile(f, x, label="s", n=2)
+    c3 = aot_cache.cached_compile(f, x, label="s", n=3)
+    assert len(os.listdir(aot_dir)) == 2
+    assert float(c2(x)[0]) == 2.0 and float(c3(x)[0]) == 3.0
+
+
+def test_corrupted_file_falls_back(aot_dir):
+    x = jnp.ones((8, 16), jnp.float32)
+    w = jnp.ones((16, 16), jnp.float32)
+    aot_cache.cached_compile(_fn(), x, w, label="c")
+    (path,) = [os.path.join(aot_dir, f) for f in os.listdir(aot_dir)]
+    with open(path, "wb") as fh:
+        fh.write(b"garbage")
+    c = aot_cache.cached_compile(_fn(), x, w, label="c")
+    d = dispatch.last_dispatch("aot_cache")
+    # fell back to compile (and re-saved a good file)
+    assert d["path"] == "compile"
+    assert float(np.asarray(c(x, w))[0]) == pytest.approx(
+        float(np.tanh(16.0) * 16), rel=1e-6
+    )
+    with open(path, "rb") as fh:
+        assert fh.read(4) != b"garb"
+
+
+def test_default_off_on_cpu(tmp_path, monkeypatch):
+    monkeypatch.delenv("LIREC_TPU_AOT", raising=False)
+    monkeypatch.setenv("LIREC_TPU_AOT_DIR", str(tmp_path / "aot2"))
+    x = jnp.ones((4, 4), jnp.float32)
+    aot_cache.cached_compile(_fn(), x, x, label="off")
+    d = dispatch.last_dispatch("aot_cache")
+    assert d["path"] == "compile" and d["reason"] == "disabled"
+    assert not os.path.exists(str(tmp_path / "aot2"))
+
+
+def test_env_zero_forces_off(tmp_path, monkeypatch):
+    monkeypatch.setenv("LIREC_TPU_AOT", "0")
+    monkeypatch.setenv("LIREC_TPU_AOT_DIR", str(tmp_path / "aot3"))
+    x = jnp.ones((4, 4), jnp.float32)
+    aot_cache.cached_compile(_fn(), x, x, label="off")
+    assert dispatch.last_dispatch("aot_cache")["reason"] == "disabled"
+
+
+# ---------------------------------------------------------- integration
+
+
+def _cfg_ds(synth_root, mode):
+    from lirec_tpu import config as config_lib
+    from lirec_tpu.data import synthetic
+    from lirec_tpu.data.dataset import InteractionDataset
+
+    base = synthetic.make_config(synth_root)
+    cfg = config_lib.preset("int_rel_ch", data_root=synth_root)
+    cfg = cfg.replace(dims=base.dims, paths=base.paths).with_runtime(
+        compute_dtype="float32"
+    ).with_optim(epochs=2, save_model=False, lr=1e-3)
+    ds = InteractionDataset(cfg, mode=mode)
+    ds.cache()
+    ds.init_relships()
+    return cfg, ds
+
+
+def _bundle(cfg, ds):
+    from lirec_tpu.models.factory import create_model
+
+    return create_model(
+        cfg, ds.n_classes, n_rels=max(len(ds.rels_list) - 1, 0)
+    )
+
+
+def test_evaluate_packed_identical_with_aot(
+    synth_root, tmp_path, monkeypatch
+):
+    from lirec_tpu.evaluation.packed import evaluate_packed
+
+    cfg, ds = _cfg_ds(synth_root, "val")
+    bundle = _bundle(cfg, ds)
+    baseline = evaluate_packed(
+        ds, bundle, bundle.params, cfg, mode="val", verbose=False
+    )
+    monkeypatch.setenv("LIREC_TPU_AOT", "1")
+    monkeypatch.setenv("LIREC_TPU_AOT_DIR", str(tmp_path / "aot"))
+    cold = evaluate_packed(
+        ds, bundle, bundle.params, cfg, mode="val", verbose=False
+    )
+    assert dispatch.last_dispatch("aot_cache") is not None
+    warm = evaluate_packed(
+        ds, bundle, bundle.params, cfg, mode="val", verbose=False
+    )
+    d = dispatch.last_dispatch("aot_cache")
+    assert d["path"] == "deserialize" and d["reason"] == "hit"
+    for k in baseline:
+        assert cold[k] == pytest.approx(baseline[k], rel=1e-6), k
+        assert warm[k] == pytest.approx(baseline[k], rel=1e-6), k
+
+
+def test_train_sweep_identical_with_aot(synth_root, tmp_path, monkeypatch):
+    from lirec_tpu.train.loop import train
+
+    def run():
+        cfg, ds = _cfg_ds(synth_root, "train")
+        return train(cfg, _bundle(cfg, ds), ds, verbose=False)
+
+    base = run()
+    monkeypatch.setenv("LIREC_TPU_AOT", "1")
+    monkeypatch.setenv("LIREC_TPU_AOT_DIR", str(tmp_path / "aot_tr"))
+    cold = run()
+    warm = run()
+    d = dispatch.last_dispatch("aot_cache")
+    assert d["path"] == "deserialize" and d["reason"] == "hit", d
+    np.testing.assert_allclose(cold["losses"], base["losses"], rtol=1e-6)
+    np.testing.assert_allclose(warm["losses"], base["losses"], rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        ),
+        warm["params"], base["params"],
+    )
