@@ -119,6 +119,32 @@ def make_epoch_sweep(bundle, tx, mesh=None):
     return sweep
 
 
+def _aot_wrap_step(jitted_step):
+    """AOT-cache the per-batch train step (--per-batch-train and the
+    dense oracle path), memoized per batch shape — same contract as
+    `_aot_wrap_sweep`."""
+    from lirec_tpu.utils import aot_cache
+
+    memo = {}
+
+    def call(params, opt_state, batch, tables, rng, tr_sum_max_flag=True):
+        key = (
+            tuple(sorted((k, np.shape(v)) for k, v in batch.items())),
+            bool(tr_sum_max_flag),
+        )
+        fn = memo.get(key)
+        if fn is None:
+            fn = aot_cache.cached_compile(
+                jitted_step, params, opt_state, batch, tables, rng,
+                label="train_step",
+                tr_sum_max_flag=bool(tr_sum_max_flag),
+            )
+            memo[key] = fn
+        return fn(params, opt_state, batch, tables, rng)
+
+    return call
+
+
 def _aot_wrap_sweep(jitted_sweep):
     """Route the epoch sweep through the AOT executable cache
     (utils/aot_cache.py — dodges the remote compile-at-load on cold
@@ -318,6 +344,8 @@ def train(
         return localizer.maybe_localize(batches) if localizer else batches
 
     step = make_train_step(bundle, tx, mesh=mesh)
+    if mesh is None:
+        step = _aot_wrap_step(step)
     if epoch_sweep is None:
         epoch_sweep = not dense
     use_sweep = (
