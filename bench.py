@@ -220,8 +220,9 @@ def bench_e2e_eval(batch_size: int, compute_dtype: str,
     # exceed the kernel's VMEM budget and per-batch local tables fit it
     from lirec_tpu.evaluation.packed import _maybe_localize_eval_ctx
 
+    emb0 = embed_c(params, tables)
     loc = _maybe_localize_eval_ctx(
-        type("DS", (), {})(), data_host, embed_c(params, tables),
+        type("DS", (), {})(), data_host, emb0,
         B, N_BATCHES, t, None, localize_ctx,
     )
     if loc is not None:
@@ -234,7 +235,7 @@ def bench_e2e_eval(batch_size: int, compute_dtype: str,
 
     sweep_t0 = time.time()
     sweep_c = aot_cache.cached_compile(
-        sweep, params, tables, embed_c(params, tables), data, loc_dev,
+        sweep, params, tables, emb0, data, loc_dev,
         jnp.int32(2), label="bench_e2e_sweep",
     )
     sweep_compile_s = time.time() - sweep_t0

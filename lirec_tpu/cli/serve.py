@@ -70,7 +70,15 @@ class InferenceEngine:
     def _forward(self, params, feat_idx, rels_mask, tables, embedded):
         from lirec_tpu.utils import aot_cache
 
-        key = (feat_idx.shape, rels_mask.shape)
+        # normalize dtypes so warm() and the request handler share one
+        # executable per bucket (and key on dtype anyway: an AOT Compiled
+        # rejects mismatched avals instead of recompiling like jit)
+        feat_idx = np.asarray(feat_idx, np.int32)
+        rels_mask = np.asarray(rels_mask, np.int64)
+        key = (
+            feat_idx.shape, str(feat_idx.dtype),
+            rels_mask.shape, str(rels_mask.dtype),
+        )
         fn = self._compiled.get(key)
         if fn is None:
             fn = aot_cache.cached_compile(

@@ -30,7 +30,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["AssemblyPlan", "build_plan"]
+__all__ = ["AssemblyPlan", "build_plan", "plan_compatible"]
 
 # patchable output arrays, by fixed id (order matters for the C++ ABI)
 PATCH_ARRAYS = ("feat_idx", "labels", "rels_label", "rels_mask", "hash_rel")
@@ -447,19 +447,26 @@ def _collate_prealloc(ds, stub) -> Dict[str, np.ndarray]:
     return out
 
 
+def plan_compatible(ds) -> bool:
+    """Static gate shared by build_plan and the disk cache
+    (data/plan_cache.py): a cached plan must never be served to a
+    dataset the builder itself would refuse."""
+    from lirec_tpu.data.dataset import random_choice
+
+    return (
+        getattr(ds, "_cached", False)
+        and not getattr(ds, "test_rels_multi_clip", False)
+        and ds.label_chooser is random_choice
+        and len(ds) > 0
+    )
+
+
 def build_plan(ds) -> Optional[AssemblyPlan]:
     """Compile `ds` into an AssemblyPlan, or None when the dataset's
     assembly isn't plan-compatible (non-default label chooser,
     test_rels_multi_clip mode, uncached, or any per-sample surprise —
     callers then keep the per-sample path)."""
-    from lirec_tpu.data.dataset import random_choice
-
-    if (
-        not getattr(ds, "_cached", False)
-        or getattr(ds, "test_rels_multi_clip", False)
-        or ds.label_chooser is not random_choice
-        or len(ds) == 0
-    ):
+    if not plan_compatible(ds):
         return None
     try:
         stub = _StubRng()

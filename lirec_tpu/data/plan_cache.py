@@ -182,15 +182,15 @@ def _spot_check(plan, ds) -> bool:
     executors, against the per-sample `__getitem__` truth."""
     from lirec_tpu.data.pipeline import collate
 
-    dyn = sorted(plan.programs)[:_VERIFY_SAMPLES]
-    static_ids = [i for i in range(len(ds)) if i not in plan.programs][
-        :_VERIFY_SAMPLES
-    ]
-    ids = np.array(dyn + static_ids, dtype=np.int64)
-    if ids.size == 0:
-        return True
-    seed, epoch = 0, 0
     try:
+        dyn = sorted(plan.programs)[:_VERIFY_SAMPLES]
+        static_ids = [i for i in range(len(ds)) if i not in plan.programs][
+            :_VERIFY_SAMPLES
+        ]
+        ids = np.array(dyn + static_ids, dtype=np.int64)
+        if ids.size == 0:
+            return True
+        seed, epoch = 0, 0
         truth = collate(
             [
                 ds.__getitem__(
@@ -199,34 +199,31 @@ def _spot_check(plan, ds) -> bool:
                 for i in ids
             ]
         )
+        # the assemble calls are INSIDE the try: a malformed-but-readable
+        # blob (bad op encoding, out-of-range pool offset) must reject
+        # and rebuild, not crash the caller
+        for use_native in (True, False):
+            got = plan.assemble(ids, seed, epoch, use_native=use_native)
+            if sorted(got) != sorted(truth):
+                return False
+            for k in truth:
+                if got[k].dtype != truth[k].dtype or not np.array_equal(
+                    got[k], truth[k]
+                ):
+                    return False
+        return True
     except Exception:
         return False
-    for use_native in (True, False):
-        got = plan.assemble(ids, seed, epoch, use_native=use_native)
-        if sorted(got) != sorted(truth):
-            return False
-        for k in truth:
-            if got[k].dtype != truth[k].dtype or not np.array_equal(
-                got[k], truth[k]
-            ):
-                return False
-    return True
 
 
 def get_or_build(ds):
     """The dataset-facing entry: cached load if possible, else build
     (+ save). Returns the plan or None (plan-incompatible dataset)."""
     from lirec_tpu.data import plan as plan_lib
-    from lirec_tpu.data.dataset import random_choice
 
-    # same plan-compatibility gate as build_plan — never serve a cached
-    # plan to a dataset the builder itself would refuse
-    if (
-        not getattr(ds, "_cached", False)
-        or getattr(ds, "test_rels_multi_clip", False)
-        or ds.label_chooser is not random_choice
-        or len(ds) == 0
-    ):
+    # shared gate — never serve a cached plan to a dataset the builder
+    # itself would refuse
+    if not plan_lib.plan_compatible(ds):
         return plan_lib.build_plan(ds)
 
     disabled = bool(os.environ.get("LIREC_TPU_NO_PLAN_CACHE"))

@@ -156,9 +156,12 @@ def _aot_wrap_sweep(jitted_sweep):
 
     def call(params, opt_state, stacked, tables, base_rng, rng_offset,
              tr_sum_max_flag=True):
+        # full shapes, not just n_steps: the Localizer's uniq_clip/
+        # uniq_track capacities grow across epochs, and a stale
+        # executable would reject the wider arrays instead of recompiling
         key = (
-            stacked["labels"].shape[0], bool(tr_sum_max_flag),
-            tuple(sorted(stacked)),
+            tuple(sorted((k, np.shape(v)) for k, v in stacked.items())),
+            bool(tr_sum_max_flag),
         )
         fn = memo.get(key)
         if fn is None:

@@ -161,12 +161,19 @@ def cached_compile(jitted, *args, label: str = "fn", **lower_kwargs):
         ]
         os.makedirs(cache_dir(), exist_ok=True)
         tmp = "%s.tmp.%d.%s" % (path, os.getpid(), uuid.uuid4().hex[:8])
-        with open(tmp, "wb") as fh:
-            pickle.dump(
-                {"serialized": serialized, "in_tree": in_tree,
-                 "out_tree": out_tree, "device_ids": device_ids}, fh,
-            )
-        os.replace(tmp, path)
+        try:
+            with open(tmp, "wb") as fh:
+                pickle.dump(
+                    {"serialized": serialized, "in_tree": in_tree,
+                     "out_tree": out_tree, "device_ids": device_ids}, fh,
+                )
+            os.replace(tmp, path)
+        except BaseException:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
         dispatch.record("aot_cache", "compile", "saved",
                         {"label": label, "mb": round(len(serialized) / 1e6, 1)})
     except Exception as e:

@@ -95,6 +95,35 @@ def test_env_zero_forces_off(tmp_path, monkeypatch):
     assert dispatch.last_dispatch("aot_cache")["reason"] == "disabled"
 
 
+def test_sweep_wrapper_rekeys_on_shape_change(aot_dir):
+    """The localized-training uniq_* capacity can grow across epochs at a
+    constant step count; the sweep wrapper must key on full shapes and
+    compile a second executable instead of feeding the stale one."""
+    import functools
+
+    from lirec_tpu.train.loop import _aot_wrap_sweep
+
+    @functools.partial(jax.jit, static_argnames=("tr_sum_max_flag",))
+    def fake_sweep(params, opt_state, stacked, tables, base_rng,
+                   rng_offset, tr_sum_max_flag=True):
+        return params, opt_state, stacked["labels"].sum() + stacked[
+            "uniq_clip"
+        ].sum()
+
+    w = _aot_wrap_sweep(fake_sweep)
+    p = jnp.ones((2,))
+    o = jnp.zeros((2,))
+    t = jnp.ones((3,))
+    rng = jax.random.PRNGKey(0)
+    mk = lambda cap: {
+        "labels": jnp.ones((3, 2), jnp.int32),
+        "uniq_clip": jnp.ones((3, cap), jnp.int32),
+    }
+    _, _, l4 = w(p, o, mk(4), t, rng, 0)
+    _, _, l8 = w(p, o, mk(8), t, rng, 0)  # wider cap, same n_steps
+    assert float(l4) == 6 + 12 and float(l8) == 6 + 24
+
+
 # ---------------------------------------------------------- integration
 
 
