@@ -174,6 +174,10 @@ def load_plan(path: str, fingerprint: str, ds):
             pass
         return None
     _record("disk-cache", "hit+verified", n)
+    try:
+        os.utime(path, None)  # refresh LRU position for pruning
+    except OSError:
+        pass
     return plan
 
 
@@ -243,6 +247,11 @@ def get_or_build(ds):
         try:
             save_plan(path, plan, fp)
             _record("disk-cache", "built+saved", len(ds))
+            from lirec_tpu.utils.aot_cache import prune
+
+            # plans are ~100-200 MB at real scale; stale fingerprints
+            # (changed data/config) would otherwise accumulate forever
+            prune(os.path.dirname(path))
         except Exception:
             _record("build", "cache-unwritable", len(ds))
     elif plan is not None:

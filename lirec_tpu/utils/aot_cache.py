@@ -39,9 +39,37 @@ from typing import Optional
 
 from lirec_tpu.ops import dispatch
 
-__all__ = ["cached_compile", "enabled", "cache_dir"]
+__all__ = ["cached_compile", "enabled", "cache_dir", "prune"]
 
 _SCHEMA = 1
+_MAX_BYTES = 4 * 1024**3  # cache-dir budget; oldest entries pruned past it
+
+
+def prune(dir_path: str, max_bytes: int = _MAX_BYTES) -> None:
+    """Drop least-recently-used entries once the dir exceeds its budget
+    (entries re-materialize on the next miss; correctness unaffected)."""
+    try:
+        entries = []
+        for name in os.listdir(dir_path):
+            p = os.path.join(dir_path, name)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            entries.append((st.st_mtime, st.st_size, p))
+        total = sum(s for _, s, _ in entries)
+        if total <= max_bytes:
+            return
+        for _, size, p in sorted(entries):
+            try:
+                os.remove(p)
+            except OSError:
+                continue
+            total -= size
+            if total <= max_bytes:
+                break
+    except OSError:
+        pass
 
 
 def enabled() -> Optional[bool]:
@@ -122,6 +150,10 @@ def cached_compile(jitted, *args, label: str = "fn", **lower_kwargs):
             dispatch.record("aot_cache", "deserialize", "hit",
                             {"label": label, "mb": round(
                                 os.path.getsize(path) / 1e6, 1)})
+            try:
+                os.utime(path, None)  # refresh LRU position
+            except OSError:
+                pass
             return loaded
         except Exception as e:
             dispatch.record("aot_cache", "compile", "load-failed:%s"
@@ -176,6 +208,7 @@ def cached_compile(jitted, *args, label: str = "fn", **lower_kwargs):
             raise
         dispatch.record("aot_cache", "compile", "saved",
                         {"label": label, "mb": round(len(serialized) / 1e6, 1)})
+        prune(cache_dir())
     except Exception as e:
         dispatch.record("aot_cache", "compile", "unserializable:%s"
                         % type(e).__name__, {"label": label})

@@ -95,6 +95,20 @@ def test_env_zero_forces_off(tmp_path, monkeypatch):
     assert dispatch.last_dispatch("aot_cache")["reason"] == "disabled"
 
 
+def test_prune_drops_oldest_past_budget(tmp_path):
+    import time as _time
+
+    d = str(tmp_path / "p")
+    os.makedirs(d)
+    for i in range(4):
+        with open(os.path.join(d, "f%d" % i), "wb") as fh:
+            fh.write(b"x" * 100)
+        os.utime(os.path.join(d, "f%d" % i), (i, i))  # f0 oldest
+    aot_cache.prune(d, max_bytes=250)
+    left = sorted(os.listdir(d))
+    assert left == ["f2", "f3"]  # oldest two pruned to fit 250 bytes
+
+
 def test_sweep_wrapper_rekeys_on_shape_change(aot_dir):
     """The localized-training uniq_* capacity can grow across epochs at a
     constant step count; the sweep wrapper must key on full shapes and
