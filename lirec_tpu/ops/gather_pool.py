@@ -529,6 +529,24 @@ def fused_ctx_pool(
         # ops-level escape hatch (compile-cost experiments, tier forcing
         # in the real-scale stress bench): LIREC_TPU_CTX_FORCE=reference|pallas
         force = os.environ.get("LIREC_TPU_CTX_FORCE", "auto")
+    if tile_m == TILE_M:
+        env_tile = os.environ.get("LIREC_TPU_CTX_TILE_M")  # ablation knob
+        if env_tile:
+            tile_m = int(env_tile)
+        else:
+            # adaptive default: the largest tile that divides M. The r3
+            # in-program sweep picked 8 under f32 tables; under the r4
+            # packed-bf16 tables (halved row bytes, doubled arithmetic
+            # intensity per tile) 32 measures 35-45% faster at real-split
+            # cardinality (0.27-0.46 vs 0.47-0.70 ms/batch, two shuffled
+            # same-session chip sweeps; 64 regresses again). Smaller M
+            # (tiny batches) keeps the old tiles rather than falling
+            # back to the XLA gather graph.
+            M_ = idx.shape[0]
+            for t in (32, 16, 8):
+                if M_ % t == 0:
+                    tile_m = t
+                    break
 
     # packed-bf16 tables (pack_bf16_table, the r4 cast policy): int32
     # physical columns, 2 logical bf16 columns per word
