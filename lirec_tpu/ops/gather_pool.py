@@ -580,6 +580,7 @@ def fused_ctx_pool(
         idx=tuple(idx.shape), clip=tuple(emb.clip.shape),
         tr=tuple(emb.tr1.shape),
         table_dtype="packed-bf16" if packed else str(emb.clip.dtype),
+        tile_m=tile_m,
     )
     if force == "reference":
         _record_dispatch("fused_ctx_pool", "reference", "forced", shapes)
