@@ -72,9 +72,10 @@ class InferenceEngine:
 
         # normalize dtypes so warm() and the request handler share one
         # executable per bucket (and key on dtype anyway: an AOT Compiled
-        # rejects mismatched avals instead of recompiling like jit)
+        # rejects mismatched avals instead of recompiling like jit);
+        # int32 — jax canonicalizes int64 down to it anyway (x64 off)
         feat_idx = np.asarray(feat_idx, np.int32)
-        rels_mask = np.asarray(rels_mask, np.int64)
+        rels_mask = np.asarray(rels_mask, np.int32)
         key = (
             feat_idx.shape, str(feat_idx.dtype),
             rels_mask.shape, str(rels_mask.dtype),
@@ -98,7 +99,7 @@ class InferenceEngine:
         a tunneled chip) to the steady-state few ms."""
         for b in sorted({self._bucket(int(x)) for x in buckets}):
             feat_idx = np.zeros((b, self.n_hyps, self.n_ctx, 3), np.int32)
-            rels_mask = np.zeros((b, self.n_hyps, self.n_ctx - 1), np.int64)
+            rels_mask = np.zeros((b, self.n_hyps, self.n_ctx - 1), np.int32)
             if not self.bundle.spec.tr_maximize:
                 feat_idx = feat_idx[:, 0]
                 rels_mask = rels_mask[:, 0]

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import functools
 import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -507,7 +508,7 @@ def fused_ctx_pool(
     mask: jnp.ndarray,
     guard_zero_divide: bool,
     force: str = "auto",
-    tile_m: int = TILE_M,
+    tile_m: Optional[int] = None,
 ) -> jnp.ndarray:
     """tanh(concat(pool(clip), pool(tr1), pool(tr2)) / divider) in ONE
     pallas_call (the r1 version made three — each boundary blocked XLA's
@@ -529,24 +530,40 @@ def fused_ctx_pool(
         # ops-level escape hatch (compile-cost experiments, tier forcing
         # in the real-scale stress bench): LIREC_TPU_CTX_FORCE=reference|pallas
         force = os.environ.get("LIREC_TPU_CTX_FORCE", "auto")
-    if tile_m == TILE_M:
+    if tile_m is None:
         env_tile = os.environ.get("LIREC_TPU_CTX_TILE_M")  # ablation knob
         if env_tile:
             tile_m = int(env_tile)
         else:
-            # adaptive default: the largest tile that divides M. The r3
-            # in-program sweep picked 8 under f32 tables; under the r4
+            # adaptive default: the largest tile that divides M AND keeps
+            # the kernel's per-tile gates satisfied (a tile that disables
+            # the kernel would be strictly worse than a smaller one). The
+            # r3 in-program sweep picked 8 under f32 tables; under the r4
             # packed-bf16 tables (halved row bytes, doubled arithmetic
             # intensity per tile) 32 measures 35-45% faster at real-split
             # cardinality (0.27-0.46 vs 0.47-0.70 ms/batch, two shuffled
             # same-session chip sweeps; 64 regresses again). Smaller M
             # (tiny batches) keeps the old tiles rather than falling
             # back to the XLA gather graph.
-            M_ = idx.shape[0]
+            M_, R_ = idx.shape[0], idx.shape[1]
+            fits_vmem = (
+                emb.clip.size + emb.tr1.size + emb.tr2.size
+            ) * 4 < VMEM_TABLE_BUDGET
+            row_bytes = (
+                emb.clip.shape[1] + 2 * emb.tr1.shape[1]
+            ) * emb.clip.dtype.itemsize
+            tile_m = TILE_M
             for t in (32, 16, 8):
-                if M_ % t == 0:
-                    tile_m = t
-                    break
+                if M_ % t:
+                    continue
+                if t * (R_ * 3 + R_ + 1) * 4 >= 900 * 1024:
+                    continue  # SMEM gate (ok_common)
+                if not fits_vmem and (
+                    t * R_ * row_bytes >= 8 * 1024 * 1024
+                ):
+                    continue  # HBM-tier per-tile scratch gate (ok_hbm)
+                tile_m = t
+                break
 
     # packed-bf16 tables (pack_bf16_table, the r4 cast policy): int32
     # physical columns, 2 logical bf16 columns per word

@@ -51,6 +51,8 @@ def prune(dir_path: str, max_bytes: int = _MAX_BYTES) -> None:
     try:
         entries = []
         for name in os.listdir(dir_path):
+            if ".tmp." in name:
+                continue  # another process's in-flight atomic write
             p = os.path.join(dir_path, name)
             try:
                 st = os.stat(p)

@@ -96,7 +96,6 @@ def test_env_zero_forces_off(tmp_path, monkeypatch):
 
 
 def test_prune_drops_oldest_past_budget(tmp_path):
-    import time as _time
 
     d = str(tmp_path / "p")
     os.makedirs(d)
