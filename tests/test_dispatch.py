@@ -103,3 +103,47 @@ def test_scatter_cpu_auto_records_fallback():
     scatter_accum.scatter_accum3(idx3, g, g, g, 4, 4, force="auto")
     rec = dispatch.last_dispatch("scatter_accum")
     assert rec["path"] == "xla-scatter" and rec["reason"] == "not on TPU"
+
+
+def test_adaptive_tile_picks_largest_dividing_m():
+    dispatch.reset()
+    emb = _emb()
+    idx = np.zeros((96, 3, 3), np.int32)  # 96 % 32 == 0
+    mask = np.ones((96, 3), np.float32)
+    gather_pool.fused_ctx_pool(emb, idx, mask, guard_zero_divide=True)
+    assert dispatch.last_dispatch("fused_ctx_pool")["shapes"]["tile_m"] == 32
+    dispatch.reset()
+    idx = np.zeros((80, 3, 3), np.int32)  # 80: not 32, yes 16
+    mask = np.ones((80, 3), np.float32)
+    gather_pool.fused_ctx_pool(emb, idx, mask, guard_zero_divide=True)
+    assert dispatch.last_dispatch("fused_ctx_pool")["shapes"]["tile_m"] == 16
+
+
+def test_adaptive_tile_respects_hbm_scratch_gate():
+    """Huge f32 rows past the VMEM budget: tile 32's per-tile scratch
+    would exceed the HBM tier's 8 MB bound, so the picker must step down
+    instead of disabling the kernel (the review-found failure)."""
+    dispatch.reset()
+    # rows of 4096 + 2*2048 = 8192 f32 cols; tables ~ > VMEM budget
+    emb = _emb(n_clip=2048, n_tr=2048, d=8192)
+    R = 18
+    idx = np.zeros((96, R, 3), np.int32)
+    mask = np.ones((96, R), np.float32)
+    gather_pool.fused_ctx_pool(emb, idx, mask, guard_zero_divide=True)
+    shapes = dispatch.last_dispatch("fused_ctx_pool")["shapes"]
+    # 32*18*64KiB = 37.7 MB and 16 -> 18.9 MB both fail the 8 MB bound;
+    # 8 -> 9.4 MB fails too, so the picker falls back to the historical
+    # tile 8 default (same kernel-disable outcome as pre-change, never a
+    # WORSE one than before)
+    assert shapes["tile_m"] == 8
+
+
+def test_explicit_tile_m_is_honored():
+    dispatch.reset()
+    emb = _emb()
+    idx = np.zeros((96, 3, 3), np.int32)
+    mask = np.ones((96, 3), np.float32)
+    gather_pool.fused_ctx_pool(
+        emb, idx, mask, guard_zero_divide=True, tile_m=8
+    )
+    assert dispatch.last_dispatch("fused_ctx_pool")["shapes"]["tile_m"] == 8
