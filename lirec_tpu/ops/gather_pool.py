@@ -27,6 +27,8 @@ __all__ = [
     "gather_masked_sum",
     "gather_masked_sum_reference",
     "fused_ctx_pool",
+    "fused_ctx_pool_triple",
+    "unpack_fused_table",
     "last_dispatch",
     "ctx_tables_cast_dtype",
     "pack_bf16_table",
@@ -682,6 +684,247 @@ def fused_ctx_pool(
               % ((emb.clip.size + emb.tr1.size + emb.tr2.size)
                  * emb.clip.dtype.itemsize / 2**20,
                  (M * R * 3 + M * (R + 1)) * 4 / 1024)),
+        shapes,
+    )
+    return reference()
+
+
+def unpack_fused_table(fused: jnp.ndarray, wc: int, wt: int) -> jnp.ndarray:
+    """Segment-wise unpack of a packed FUSED ctx row table.
+
+    A fused row is the concatenation of the three tables' PACKED rows —
+    [clip words (wc) | tr1 words (wt) | tr2 words (wt)] — where each
+    segment internally packs its own table's (d, d + D/2) column pairs
+    (pack_bf16_table). Unpacking must therefore split lo/hi halves PER
+    SEGMENT to restore the natural [clip | tr1 | tr2] f32 column order.
+    fused: int32 [U, wc + 2*wt] -> f32 [U, 2*(wc + 2*wt)].
+    """
+    lo = jax.lax.bitcast_convert_type(
+        jax.lax.shift_left(fused, 16), jnp.float32
+    )
+    hi = jax.lax.bitcast_convert_type(
+        jax.lax.bitwise_and(fused, jnp.int32(-65536)), jnp.float32
+    )
+    return jnp.concatenate(
+        [
+            lo[:, :wc], hi[:, :wc],
+            lo[:, wc : wc + wt], hi[:, wc : wc + wt],
+            lo[:, wc + wt :], hi[:, wc + wt :],
+        ],
+        axis=-1,
+    )
+
+
+def _make_triple_kernel(r_count: int, wc: int, wt: int, tile_m: int,
+                        packed: bool):
+    """Single-gather variant: one FUSED row per (m, r) context entry.
+
+    The 3-table kernels above issue three dynamic single-row gathers per
+    context entry, and the r4-final trace showed the VMEM tier is
+    gather-ISSUE-bound (225 us/batch vs an 86 us packed-bytes roofline;
+    halving bytes via packing barely moved it — BENCH.md). Deduplicating
+    the batch's (clip, tr1, tr2) index triples host-side
+    (data/localize.localize_eval_ctx_triples) and gathering each batch's
+    unique fused rows into one local table (models/factory.apply_model)
+    cuts the issue count 3x: the kernel reads ONE wide row per entry and
+    the shared mask weight applies to the whole row at once.
+
+    wc/wt: PHYSICAL word widths of the clip / track segments (packed:
+    int32 words carrying two bf16 columns each; f32: the f32 columns).
+    Output stays natural-order f32 [tile_m, d_clip + 2*d_tr].
+    """
+
+    def _kernel(idx_ref, mask_ref, fused_ref, out_ref):
+        width = wc + 2 * wt
+        for m in range(tile_m):
+            base = m * r_count
+            mbase = m * (r_count + 1)
+            if packed:
+                acc_lo = jnp.zeros((width,), jnp.float32)
+                acc_hi = jnp.zeros((width,), jnp.float32)
+                for r in range(r_count):
+                    w = mask_ref[0, 0, mbase + r]
+                    v = fused_ref[idx_ref[0, 0, base + r], :]
+                    acc_lo = acc_lo + w * jax.lax.bitcast_convert_type(
+                        jax.lax.shift_left(v, 16), jnp.float32
+                    )
+                    acc_hi = acc_hi + w * jax.lax.bitcast_convert_type(
+                        jax.lax.bitwise_and(v, jnp.int32(-65536)),
+                        jnp.float32,
+                    )
+                inv = mask_ref[0, 0, mbase + r_count]
+                # natural column order: per segment, lo block then hi block
+                out_ref[m, :wc] = jnp.tanh(acc_lo[:wc] * inv)
+                out_ref[m, wc : 2 * wc] = jnp.tanh(acc_hi[:wc] * inv)
+                o = 2 * wc
+                out_ref[m, o : o + wt] = jnp.tanh(
+                    acc_lo[wc : wc + wt] * inv
+                )
+                out_ref[m, o + wt : o + 2 * wt] = jnp.tanh(
+                    acc_hi[wc : wc + wt] * inv
+                )
+                out_ref[m, o + 2 * wt : o + 3 * wt] = jnp.tanh(
+                    acc_lo[wc + wt :] * inv
+                )
+                out_ref[m, o + 3 * wt :] = jnp.tanh(acc_hi[wc + wt :] * inv)
+            else:
+                acc = jnp.zeros((width,), jnp.float32)
+                for r in range(r_count):
+                    w = mask_ref[0, 0, mbase + r]
+                    acc = acc + w * fused_ref[
+                        idx_ref[0, 0, base + r], :
+                    ].astype(jnp.float32)
+                inv = mask_ref[0, 0, mbase + r_count]
+                out_ref[m, :] = jnp.tanh(acc * inv)
+
+    return _kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("wc", "wt", "guard_zero", "interpret", "tile_m")
+)
+def _triple_pallas_call(fused, tidx, mask, wc, wt, guard_zero,
+                        interpret=False, tile_m=TILE_M):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, R = tidx.shape
+    packed = fused.dtype == jnp.int32
+    d_out = (2 if packed else 1) * (wc + 2 * wt)
+    divider = mask.sum(axis=-1, keepdims=True)
+    if guard_zero:
+        divider = jnp.where(divider == 0, 1.0, divider)
+    packed_mask = jnp.concatenate(
+        [mask.astype(jnp.float32), (1.0 / divider).astype(jnp.float32)],
+        axis=1,
+    )
+    idx_tiled = tidx.reshape(M // tile_m, 1, tile_m * R)
+    mask_tiled = packed_mask.reshape(M // tile_m, 1, tile_m * (R + 1))
+    grid_spec = pl.GridSpec(
+        grid=(M // tile_m,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, tile_m * R), lambda i: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, tile_m * (R + 1)), lambda i: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # fused local table
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_m, d_out), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    kwargs = {}
+    if not interpret:
+        vmem = fused.size * 4 + 4 * tile_m * d_out * 4
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem + 16 * 1024 * 1024,
+                                 112 * 1024 * 1024)
+        )
+    return pl.pallas_call(
+        _make_triple_kernel(R, wc, wt, tile_m, packed),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, d_out), jnp.float32),
+        interpret=interpret,
+        **kwargs,
+    )(idx_tiled, mask_tiled, fused)
+
+
+def fused_ctx_pool_triple(
+    fused: jnp.ndarray,
+    tidx: jnp.ndarray,
+    mask: jnp.ndarray,
+    wc: int,
+    wt: int,
+    guard_zero_divide: bool,
+    force: str = "auto",
+    tile_m: Optional[int] = None,
+) -> jnp.ndarray:
+    """tanh(masked-mean of gathered FUSED ctx rows): the triple tier.
+
+    fused: [U, wc + 2*wt] f32 or int32 (packed-bf16 segments); tidx:
+    [M, R] int32 into the fused table; mask: [M, R]. wc/wt are the
+    PHYSICAL clip/track segment widths. One dynamic row gather per
+    (m, r) — 3x fewer issues than fused_ctx_pool at identical numerics
+    (same values, same accumulation order).
+    force: 'auto' | 'pallas' | 'interpret' | 'reference'
+    """
+    tidx = jnp.asarray(tidx, jnp.int32)
+    mask = jnp.asarray(mask)
+    if force == "auto":
+        force = os.environ.get("LIREC_TPU_CTX_FORCE", "auto")
+        if force in ("pallas-hbm", "interpret-hbm"):
+            force = "auto"  # no HBM tier here: the fused table is local
+    M, R = tidx.shape
+    packed = fused.dtype == jnp.int32
+    if tile_m is None:
+        env_tile = os.environ.get("LIREC_TPU_CTX_TILE_M")
+        if env_tile:
+            tile_m = int(env_tile)
+        else:
+            # the triple tier's SMEM block is 3x smaller than the 3-table
+            # kernel's (one index per entry), so larger tiles stay viable
+            tile_m = TILE_M
+            for t in (32, 16, 8):
+                if M % t == 0 and t * (R + R + 1) * 4 < 900 * 1024:
+                    tile_m = t
+                    break
+
+    def reference():
+        tab = unpack_fused_table(fused, wc, wt) if packed else fused
+        divider = mask.sum(axis=-1, keepdims=True)
+        if guard_zero_divide:
+            divider = jnp.where(divider == 0, 1.0, divider)
+        g = tab[tidx]  # [M, R, d]
+        pooled = (g * mask[..., None].astype(g.dtype)).sum(axis=-2)
+        return jnp.tanh(pooled / divider.astype(pooled.dtype))
+
+    shapes = dict(
+        tidx=tuple(tidx.shape), fused=tuple(fused.shape),
+        table_dtype="packed-bf16" if packed else str(fused.dtype),
+        tile_m=tile_m,
+    )
+    if force == "reference":
+        _record_dispatch("fused_ctx_pool_triple", "reference", "forced",
+                         shapes)
+        return reference()
+    ok = (
+        M % tile_m == 0
+        and fused.dtype in (jnp.float32, jnp.int32)
+        and wc % 128 == 0
+        and wt % 128 == 0
+        and fused.shape[1] == wc + 2 * wt
+        and tile_m * (R + R + 1) * 4 < 900 * 1024
+        and fused.size * 4 < VMEM_TABLE_BUDGET
+    )
+    if force in ("interpret", "pallas") and not ok:
+        raise ValueError(
+            "fused_ctx_pool_triple needs M %% %d == 0, segment widths %% "
+            "128 == 0, fused table resident in VMEM; got fused %s tidx %s"
+            % (tile_m, fused.shape, tidx.shape)
+        )
+    if force == "interpret":
+        return _triple_pallas_call(
+            fused, tidx, mask, wc, wt, guard_zero_divide,
+            interpret=True, tile_m=tile_m,
+        )
+    on_tpu = jax.default_backend() == "tpu"
+    if force == "pallas" or (force == "auto" and on_tpu and ok):
+        _record_dispatch(
+            "fused_ctx_pool_triple", "pallas",
+            "forced" if force == "pallas" else "auto", shapes,
+        )
+        return _triple_pallas_call(
+            fused, tidx, mask, wc, wt, guard_zero_divide, tile_m=tile_m,
+        )
+    _record_dispatch(
+        "fused_ctx_pool_triple", "reference",
+        "not on TPU" if not on_tpu
+        else ("gate: fused table %.1f MB, M=%d"
+              % (fused.size * fused.dtype.itemsize / 2**20, M)),
         shapes,
     )
     return reference()
