@@ -225,13 +225,11 @@ def bench_e2e_eval(batch_size: int, compute_dtype: str,
         type("DS", (), {})(), data_host, emb0,
         B, N_BATCHES, t, None, localize_ctx,
     )
-    if loc is not None:
-        data_host = dict(data_host, feat_idx=loc["feat_idx"])
+    from lirec_tpu.evaluation.packed import loc_apply_data, loc_device_tree
+
+    data_host = loc_apply_data(data_host, loc)
     data = {k: jnp.asarray(v) for k, v in data_host.items()}
-    loc_dev = {} if loc is None else {
-        "clip": jnp.asarray(loc["uniq_clip"]),
-        "track": jnp.asarray(loc["uniq_track"]),
-    }
+    loc_dev = loc_device_tree(loc)
 
     sweep_t0 = time.time()
     sweep_c = aot_cache.cached_compile(

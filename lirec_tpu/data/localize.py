@@ -37,7 +37,7 @@ import numpy as np
 
 __all__ = [
     "Localizer", "localize_batch", "batch_unique_counts",
-    "localize_eval_ctx",
+    "localize_eval_ctx", "localize_eval_ctx_triples",
 ]
 
 # pad capacities to multiples of this (static shapes; avoids a recompile
@@ -161,6 +161,55 @@ def localize_eval_ctx(feat_idx: np.ndarray, batch_size: int, n_full: int,
         np.stack([_pad_ids(u, cap_c) for u in ucs]),
         np.stack([_pad_ids(u, cap_t) for u in uts]),
     )
+
+
+def localize_eval_ctx_triples(feat_idx: np.ndarray, batch_size: int,
+                              n_full: int, n_tracks: int):
+    """Per-batch (clip, tr1, tr2) TRIPLE dedup for the eval sweep.
+
+    The per-table localization above still leaves the fused ctx kernel
+    issuing THREE dynamic row gathers per context entry, and the r4-final
+    trace showed the VMEM tier is gather-ISSUE-bound (225 us/batch vs an
+    86 us packed-bytes roofline). Deduplicating whole index triples lets
+    the sweep gather each batch's unique FUSED rows [clip|tr1|tr2] into
+    one local table (models/factory.apply_model) and the kernel
+    (ops/gather_pool.fused_ctx_pool_triple) issue ONE gather per entry.
+
+    feat_idx: [N, (T,) 1+R, 3] int32 over the whole split (slot 0 is the
+    ints/GT row and stays global; it is NOT rewritten here). Returns
+    (ctx_tidx [N, (T,) R] int32 — triple-table positions for the first
+    ``n_full * batch_size`` rows, zeros for the ragged tail, which runs
+    the plain path — and triples [n_full, cap_u, 3] int32, zero-padded).
+    Unique sets include masked/padding entries, so every tidx is < cap_u.
+    """
+    fi = np.asarray(feat_idx)
+    R = fi.shape[-2] - 1
+    tidx = np.zeros(fi.shape[:-2] + (R,), np.int32)
+    nt = np.int64(n_tracks)
+    tris = []
+    for b in range(n_full):
+        rows = fi[b * batch_size : (b + 1) * batch_size][..., 1:, :]
+        rows = rows.astype(np.int64)
+        key = (rows[..., 0] * nt + rows[..., 1]) * nt + rows[..., 2]
+        uniq, inv = np.unique(key, return_inverse=True)
+        tidx[b * batch_size : (b + 1) * batch_size] = inv.reshape(
+            key.shape
+        ).astype(np.int32)
+        tris.append(
+            np.stack(
+                [
+                    (uniq // (nt * nt)).astype(np.int32),
+                    ((uniq // nt) % nt).astype(np.int32),
+                    (uniq % nt).astype(np.int32),
+                ],
+                axis=-1,
+            )
+        )
+    cap = max(1, -(-max(t.shape[0] for t in tris) // 8) * 8)
+    triples = np.zeros((n_full, cap, 3), np.int32)
+    for b, t in enumerate(tris):
+        triples[b, : t.shape[0]] = t
+    return tidx, triples
 
 
 class Localizer:

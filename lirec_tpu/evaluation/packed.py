@@ -36,6 +36,9 @@ __all__ = [
     "device_sweep_builder",
     "finish_from_carry",
     "allreduce_carry",
+    "inject_loc",
+    "loc_device_tree",
+    "loc_apply_data",
 ]
 
 
@@ -208,7 +211,7 @@ def device_sweep_builder(bundle, t, n_classes: int, n_rels: int,
         model_batch = {
             k: batch[k]
             for k in ("feat_idx", "rels_mask", "ctx_uniq_clip",
-                      "ctx_uniq_track")
+                      "ctx_uniq_track", "ctx_tidx", "ctx_triples")
             if k in batch
         }
         out = bundle.apply(
@@ -293,34 +296,82 @@ def device_sweep_builder(bundle, t, n_classes: int, n_rels: int,
 
 def inject_loc(batch: Dict, loc: Dict, i):
     """Add batch i's ctx localization ids (no-op on an empty loc tree).
-    Shared by both sweeps here and bench.py's slope-timed sweep."""
+    Shared by both sweeps here and bench.py's slope-timed sweep.
+    Triple mode carries per-batch unique index triples instead of
+    per-table unique-id lists (the per-sample ``ctx_tidx`` rides in the
+    data tree and is sliced with the batch)."""
     if not loc:
         return batch
+    if "triples" in loc:
+        return dict(batch, ctx_triples=loc["triples"][i])
     return dict(
         batch, ctx_uniq_clip=loc["clip"][i], ctx_uniq_track=loc["track"][i]
     )
+
+
+def loc_device_tree(loc: Optional[Dict]):
+    """The per-batch loc arrays as device arrays keyed for inject_loc
+    (empty dict when localization is off). Shared with bench.py."""
+    if not loc:
+        return {}
+    if "triples" in loc:
+        return {"triples": jnp.asarray(loc["triples"])}
+    return {
+        "clip": jnp.asarray(loc["uniq_clip"]),
+        "track": jnp.asarray(loc["uniq_track"]),
+    }
+
+
+def loc_apply_data(data: Dict, loc: Optional[Dict]) -> Dict:
+    """Merge a loc's per-SAMPLE arrays into the sweep data tree: the
+    (possibly remapped) feat_idx, plus ctx_tidx in triple mode (sliced
+    alongside the batch; tail rows carry zeros and run the plain path)."""
+    if loc is None:
+        return data
+    data = dict(data, feat_idx=loc["feat_idx"])
+    if "ctx_tidx" in loc:
+        data["ctx_tidx"] = loc["ctx_tidx"]
+    return data
 
 
 def _maybe_localize_eval_ctx(dataset, data, embedded, B: int, n_full: int,
                              t, use_pallas, override):
     """Decide + compute per-batch ctx localization for the sweep.
 
-    Returns None (plain path) or {feat_idx (slots 1..R remapped for the
-    first n_full*B rows), uniq_clip [n_full, cap_c], uniq_track
-    [n_full, cap_t]}. Auto policy: localize exactly when the embedded ctx
-    tables exceed the kernel's VMEM budget (the HBM-DMA tier would run —
-    BENCH.md real-scale table) AND the per-batch local tables fit it.
-    The analysis is cached on the dataset — the eval split is fixed, so
-    the unique sets never change across cadence evals. Decision recorded
-    via ops/dispatch ('eval_ctx_localize'), never silent."""
+    Two tiers (override / ``LIREC_TPU_EVAL_LOCALIZE``: True|'on' and
+    'tables' force the per-table tier, 'triple' the triple tier, False|
+    'off' disables, None|'auto' decides):
+
+    - 'tables' (localize_eval_ctx): per-batch unique clip/track ids;
+      returns {feat_idx (slots 1..R remapped for the first n_full*B
+      rows), uniq_clip [n_full, cap_c], uniq_track [n_full, cap_t]}.
+    - 'triple' (localize_eval_ctx_triples): per-batch unique
+      (clip, tr1, tr2) index TRIPLES — the sweep gathers each batch's
+      unique fused rows into one local table and the ctx kernel issues
+      one row gather per entry instead of three (the r4-final trace
+      showed the VMEM tier gather-issue-bound). Returns {feat_idx
+      (UNCHANGED — slot 0 stays global), ctx_tidx [N, (T,) R],
+      triples [n_full, cap_u, 3]}.
+
+    Auto policy: localize exactly when the embedded ctx tables exceed
+    the kernel's VMEM budget (the HBM-DMA tier would run — BENCH.md
+    real-scale table) AND the per-batch local tables fit it; the triple
+    tier is preferred (fewer kernel gather issues at the same local
+    build cost). The analysis is cached on the dataset — the eval split
+    is fixed, so the unique sets never change across cadence evals.
+    Decision recorded via ops/dispatch ('eval_ctx_localize'), never
+    silent."""
     import os
 
     from lirec_tpu.ops import dispatch
 
     if override is None:
-        override = {"on": True, "off": False}.get(
-            os.environ.get("LIREC_TPU_EVAL_LOCALIZE", "auto")
-        )
+        override = {
+            "on": True, "off": False,
+            "tables": "tables", "triple": "triple",
+        }.get(os.environ.get("LIREC_TPU_EVAL_LOCALIZE", "auto"))
+    if override is True:
+        override = "tables"  # historical 'forced on' = the per-table tier
     ctx = (embedded or {}).get("ctx")
     if not t.ctx or ctx is None or not n_full or "feat_idx" not in data:
         return None  # structurally inapplicable: nothing to decide
@@ -331,7 +382,8 @@ def _maybe_localize_eval_ctx(dataset, data, embedded, B: int, n_full: int,
 
     fi = np.asarray(data["feat_idx"])
     full_bytes = (ctx.clip.size + ctx.tr1.size + ctx.tr2.size) * 4
-    if override is not True:
+    mode = override
+    if mode is None:  # auto
         if full_bytes < VMEM_TABLE_BUDGET:
             return None  # already VMEM-resident: nothing to win (the
             # kernel dispatch itself logs the tier that runs)
@@ -351,14 +403,16 @@ def _maybe_localize_eval_ctx(dataset, data, embedded, B: int, n_full: int,
                 "would only add a gather", {"M": M},
             )
             return None
+        mode = "triple"
     cache = getattr(dataset, "_eval_ctx_loc_cache", None)
+    cache_key = (B, n_full, fi.shape, mode)
     # keyed on the ARRAY OBJECT (materialize() caches and returns the same
     # dict each call) with a content-digest fallback for callers that
     # re-slice fresh arrays each eval (the multi-process recursion) — an
     # address-based key could go stale if a freed array's storage were
     # reused, and recomputing every cadence eval copies the whole split
     digest = None
-    if cache is not None and cache[1] == (B, n_full, fi.shape):
+    if cache is not None and cache[1] == cache_key:
         if cache[0] is fi:
             loc = cache[2]
             return _gate_local(loc, ctx, override, full_bytes, dispatch)
@@ -370,12 +424,20 @@ def _maybe_localize_eval_ctx(dataset, data, embedded, B: int, n_full: int,
         if cache[3] == digest:
             loc = cache[2]
             return _gate_local(loc, ctx, override, full_bytes, dispatch)
-    from lirec_tpu.data.localize import localize_eval_ctx
+    if mode == "triple":
+        from lirec_tpu.data.localize import localize_eval_ctx_triples
 
-    new_fi, uc, ut = localize_eval_ctx(
-        fi, B, n_full, ctx.clip.shape[0], ctx.tr1.shape[0]
-    )
-    loc = {"feat_idx": new_fi, "uniq_clip": uc, "uniq_track": ut}
+        tidx, triples = localize_eval_ctx_triples(
+            fi, B, n_full, ctx.tr1.shape[0]
+        )
+        loc = {"feat_idx": fi, "ctx_tidx": tidx, "triples": triples}
+    else:
+        from lirec_tpu.data.localize import localize_eval_ctx
+
+        new_fi, uc, ut = localize_eval_ctx(
+            fi, B, n_full, ctx.clip.shape[0], ctx.tr1.shape[0]
+        )
+        loc = {"feat_idx": new_fi, "uniq_clip": uc, "uniq_track": ut}
     if digest is None:
         import hashlib
 
@@ -383,7 +445,7 @@ def _maybe_localize_eval_ctx(dataset, data, embedded, B: int, n_full: int,
             np.ascontiguousarray(fi), digest_size=16
         ).digest()
     try:
-        dataset._eval_ctx_loc_cache = (fi, (B, n_full, fi.shape), loc, digest)
+        dataset._eval_ctx_loc_cache = (fi, cache_key, loc, digest)
     except AttributeError:
         pass  # dataset without attribute support: recompute per eval
     return _gate_local(loc, ctx, override, full_bytes, dispatch)
@@ -393,15 +455,26 @@ def _gate_local(loc, ctx, override, full_bytes, dispatch):
     """Final profitability gate + dispatch record for a computed loc."""
     from lirec_tpu.ops.gather_pool import VMEM_TABLE_BUDGET
 
-    local_bytes = (
-        loc["uniq_clip"].shape[1] * ctx.clip.shape[1]
-        + 2 * loc["uniq_track"].shape[1] * ctx.tr1.shape[1]
-    ) * 4
-    shapes = {
-        "caps": (loc["uniq_clip"].shape[1], loc["uniq_track"].shape[1]),
-        "tables": (ctx.clip.shape[0], ctx.tr1.shape[0]),
-    }
-    if override is not True and local_bytes >= VMEM_TABLE_BUDGET:
+    row_w = ctx.clip.shape[1] + 2 * ctx.tr1.shape[1]
+    if "triples" in loc:
+        local_bytes = loc["triples"].shape[1] * row_w * 4
+        shapes = {
+            "tier": "triple",
+            "caps": (loc["triples"].shape[1],),
+            "tables": (ctx.clip.shape[0], ctx.tr1.shape[0]),
+        }
+    else:
+        local_bytes = (
+            loc["uniq_clip"].shape[1] * ctx.clip.shape[1]
+            + 2 * loc["uniq_track"].shape[1] * ctx.tr1.shape[1]
+        ) * 4
+        shapes = {
+            "tier": "tables",
+            "caps": (loc["uniq_clip"].shape[1], loc["uniq_track"].shape[1]),
+            "tables": (ctx.clip.shape[0], ctx.tr1.shape[0]),
+        }
+    forced = override in ("tables", "triple")
+    if not forced and local_bytes >= VMEM_TABLE_BUDGET:
         dispatch.record(
             "eval_ctx_localize", "off",
             "local tables %.0f MB still exceed the VMEM budget"
@@ -410,7 +483,7 @@ def _gate_local(loc, ctx, override, full_bytes, dispatch):
         return None
     dispatch.record(
         "eval_ctx_localize", "on",
-        "forced" if override is True else
+        "forced" if forced else
         "full ctx tables %.0f MB > VMEM budget; local %.0f MB fit"
         % (full_bytes / 2**20, local_bytes / 2**20),
         shapes,
@@ -504,15 +577,11 @@ def evaluate_packed(
     loc = _maybe_localize_eval_ctx(
         dataset, data, embedded, B, n_full, t, use_pallas, localize_ctx
     )
-    if loc is not None:
-        data = dict(data, feat_idx=loc["feat_idx"])
+    data = loc_apply_data(data, loc)
 
     if mesh is None:
         data_dev = {k: jnp.asarray(v) for k, v in data.items()}
-        loc_dev = {} if loc is None else {
-            "clip": jnp.asarray(loc["uniq_clip"]),
-            "track": jnp.asarray(loc["uniq_track"]),
-        }
+        loc_dev = loc_device_tree(loc)
 
         @functools.partial(jax.jit, static_argnames=("n_full",))
         def sweep(params, tables, embedded, data, loc, n_full):
@@ -564,11 +633,11 @@ def evaluate_packed(
         embedded_r = jax.device_put(
             embedded, jax.tree.map(lambda _: repl, embedded)
         )
-        # per-batch unique-id arrays are batch-level (no sample axis):
-        # replicate — the local-table gather then stays replicated too
-        loc_sh = {} if loc is None else {
-            "clip": jax.device_put(loc["uniq_clip"], repl),
-            "track": jax.device_put(loc["uniq_track"], repl),
+        # per-batch unique-id/triple arrays are batch-level (no sample
+        # axis): replicate — the local-table gather then stays replicated
+        loc_sh = {
+            k: jax.device_put(np.asarray(v), repl)
+            for k, v in loc_device_tree(loc).items()
         }
 
         @jax.jit

@@ -65,6 +65,28 @@ def apply_model(
         rels_mask = batch.get("rels_mask")
         if rels_mask is not None:
             rels_mask = jnp.asarray(rels_mask)
+        ctx_triple = None
+        if (
+            embedded is not None and "ctx_triples" in batch
+            and context_axis is None and spec.ctx
+        ):
+            # triple tier (data/localize.localize_eval_ctx_triples): gather
+            # this batch's unique FUSED [clip|tr1|tr2] rows into one local
+            # table so the ctx kernel issues ONE row gather per context
+            # entry instead of three (ops/gather_pool.fused_ctx_pool_triple).
+            # feat_idx stays global (slot 0 / ints path untouched).
+            tri = jnp.asarray(batch["ctx_triples"])
+            ctx = embedded["ctx"]
+            fused = jnp.concatenate(
+                [ctx.clip[tri[:, 0]], ctx.tr1[tri[:, 1]], ctx.tr2[tri[:, 2]]],
+                axis=-1,
+            )
+            ctx_triple = (
+                fused,
+                jnp.asarray(batch["ctx_tidx"]),
+                int(ctx.clip.shape[1]),
+                int(ctx.tr1.shape[1]),
+            )
         if embedded is not None and "ctx_uniq_clip" in batch:
             # eval ctx localization (data/localize.localize_eval_ctx):
             # feat_idx slots 1..R are already remapped to local positions;
@@ -87,11 +109,13 @@ def apply_model(
                 params, spec, tables, feat_idx, rels_mask,
                 use_pallas=use_pallas, embedded=embedded,
                 context_axis=context_axis, data_mesh=data_mesh,
+                ctx_triple=ctx_triple,
             )
         return tabular.midfusion_tabular(
             params, spec, tables, feat_idx, rels_mask,
             use_pallas=use_pallas, embedded=embedded,
             context_axis=context_axis, data_mesh=data_mesh,
+            ctx_triple=ctx_triple,
         )
 
     if "feat_idx" in batch:

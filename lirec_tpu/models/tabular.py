@@ -183,6 +183,54 @@ def _ctx_branch(
     )
 
 
+def _ctx_branch_triple(
+    fused: jnp.ndarray,
+    tidx: jnp.ndarray,
+    mask: jnp.ndarray,
+    wc: int,
+    wt: int,
+    guard_zero_divide: bool,
+    use_pallas,
+    data_mesh=None,
+    data_axis: str = "data",
+) -> jnp.ndarray:
+    """Triple-tier ctx branch: one fused-row gather per context entry.
+
+    fused: the batch's unique [clip|tr1|tr2] rows gathered into one local
+    table (models/factory.apply_model builds it from ``ctx_triples``);
+    tidx: [N, R] positions into it. Identical numerics to _ctx_branch
+    (same per-column adds in the same r order), 3x fewer dynamic gathers
+    in the kernel (ops/gather_pool.fused_ctx_pool_triple).
+    """
+    from lirec_tpu.ops.gather_pool import fused_ctx_pool_triple
+
+    force = (
+        "reference" if use_pallas is False
+        else "interpret" if use_pallas == "interpret"
+        else "pallas" if use_pallas else "auto"
+    )
+    if data_mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        def local_pool(fused_l, tidx_l, mask_l):
+            return fused_ctx_pool_triple(
+                fused_l, tidx_l, mask_l, wc, wt,
+                guard_zero_divide=guard_zero_divide, force=force,
+            )
+
+        return jax.shard_map(
+            local_pool,
+            mesh=data_mesh,
+            in_specs=(P(), P(data_axis), P(data_axis)),
+            out_specs=P(data_axis),
+            check_vma=False,
+        )(fused, tidx, mask)
+    return fused_ctx_pool_triple(
+        fused, tidx, mask, wc, wt,
+        guard_zero_divide=guard_zero_divide, force=force,
+    )
+
+
 def embed_all(params: Dict, spec, tables: Dict) -> Dict[str, EmbeddedTables]:
     """All branch embeddings of the tables; computed once per eval sweep
     (params are frozen during eval, so this amortizes across every batch).
@@ -269,10 +317,13 @@ def midfusion_maxtracks_tabular(
     embedded: Optional[Dict[str, EmbeddedTables]] = None,
     context_axis: Optional[str] = None,
     data_mesh=None,
+    ctx_triple=None,
 ) -> Dict[str, Optional[jnp.ndarray]]:
     """MidFusionMultiClipMaxTracks eval forward over tables.
 
-    feat_idx: [B, T, 1+R, 3]; rels_mask: [B, T, R].
+    feat_idx: [B, T, 1+R, 3]; rels_mask: [B, T, R]. ctx_triple (optional):
+    (fused local table, tidx [B, T, R], wc, wt) — the triple tier
+    (_ctx_branch_triple) replaces the 3-table ctx pooling.
     """
     cdt = compute_dtype(spec)
     B, T = feat_idx.shape[0], feat_idx.shape[1]
@@ -289,16 +340,23 @@ def midfusion_maxtracks_tabular(
         )
         output_ints = ints_repr
     if spec.ctx:
-        emb_c = (
-            embedded["ctx"] if embedded else
-            embed_tables(params, "ctx", tables, spec)
-        )
-        flat_idx = feat_idx[:, :, 1:, :].reshape(B * T, -1, 3)
         flat_mask = rels_mask.reshape(B * T, -1).astype(jnp.float32)
-        output_ctx = _ctx_branch(
-            emb_c, flat_idx, flat_mask, True, use_pallas, context_axis,
-            data_mesh=data_mesh,
-        )
+        if ctx_triple is not None:
+            fused, tidx, wc, wt = ctx_triple
+            output_ctx = _ctx_branch_triple(
+                fused, tidx.reshape(B * T, -1), flat_mask, wc, wt, True,
+                use_pallas, data_mesh=data_mesh,
+            )
+        else:
+            emb_c = (
+                embedded["ctx"] if embedded else
+                embed_tables(params, "ctx", tables, spec)
+            )
+            flat_idx = feat_idx[:, :, 1:, :].reshape(B * T, -1, 3)
+            output_ctx = _ctx_branch(
+                emb_c, flat_idx, flat_mask, True, use_pallas, context_axis,
+                data_mesh=data_mesh,
+            )
     if spec.gates:
         output_ints = gate_apply(
             params, output_ints, output_ctx, spec, drop, deterministic=True
@@ -328,10 +386,13 @@ def midfusion_tabular(
     embedded: Optional[Dict[str, EmbeddedTables]] = None,
     context_axis: Optional[str] = None,
     data_mesh=None,
+    ctx_triple=None,
 ) -> Dict[str, Optional[jnp.ndarray]]:
     """MidFusionMultiClip eval forward over tables.
 
-    feat_idx: [B, 1+R, 3]; rels_mask: [B, R, 1] or [B, R].
+    feat_idx: [B, 1+R, 3]; rels_mask: [B, R, 1] or [B, R]. ctx_triple
+    (optional): (fused local table, tidx [B, R], wc, wt) — see
+    _ctx_branch_triple.
     """
     cdt = compute_dtype(spec)
     B = feat_idx.shape[0]
@@ -344,15 +405,22 @@ def midfusion_tabular(
         )
         output_ints = jnp.tanh(_gather_row(emb_i, feat_idx[:, 0, :]))
     if spec.ctx:
-        emb_c = (
-            embedded["ctx"] if embedded else
-            embed_tables(params, "ctx", tables, spec)
-        )
         mask = rels_mask.reshape(B, -1).astype(jnp.float32)
-        output_ctx = _ctx_branch(
-            emb_c, feat_idx[:, 1:, :], mask, False, use_pallas, context_axis,
-            data_mesh=data_mesh,
-        )
+        if ctx_triple is not None:
+            fused, tidx, wc, wt = ctx_triple
+            output_ctx = _ctx_branch_triple(
+                fused, tidx.reshape(B, -1), mask, wc, wt, False,
+                use_pallas, data_mesh=data_mesh,
+            )
+        else:
+            emb_c = (
+                embedded["ctx"] if embedded else
+                embed_tables(params, "ctx", tables, spec)
+            )
+            output_ctx = _ctx_branch(
+                emb_c, feat_idx[:, 1:, :], mask, False, use_pallas,
+                context_axis, data_mesh=data_mesh,
+            )
     if spec.gates:
         output_ints = gate_apply(
             params, output_ints, output_ctx, spec, drop, deterministic=True

@@ -879,7 +879,20 @@ def fused_ctx_pool_triple(
         if guard_zero_divide:
             divider = jnp.where(divider == 0, 1.0, divider)
         g = tab[tidx]  # [M, R, d]
-        pooled = (g * mask[..., None].astype(g.dtype)).sum(axis=-2)
+        w = mask[..., None].astype(g.dtype)
+        # pool PER SEGMENT (widths match the 3-table path's pools), so XLA
+        # picks the same reduction shapes and the fallback is bitwise
+        # equal to the plain eval path (tests/test_packed_eval.py)
+        dc = 2 * wc if packed else wc
+        dt = 2 * wt if packed else wt
+        pooled = jnp.concatenate(
+            [
+                (g[..., :dc] * w).sum(axis=-2),
+                (g[..., dc : dc + dt] * w).sum(axis=-2),
+                (g[..., dc + dt :] * w).sum(axis=-2),
+            ],
+            axis=-1,
+        )
         return jnp.tanh(pooled / divider.astype(pooled.dtype))
 
     shapes = dict(

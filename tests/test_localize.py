@@ -132,3 +132,39 @@ def test_train_localized_trajectory(synth_cfg, synth_root):
         runs["localized"]["losses"], runs["plain"]["losses"],
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_localize_eval_ctx_triples_roundtrip():
+    """triples[b][tidx] must reconstruct the original ctx index triples
+    exactly; slot 0 and the ragged tail are untouched (zeros in tidx)."""
+    import numpy as np
+
+    from lirec_tpu.data.localize import localize_eval_ctx_triples
+
+    rng = np.random.default_rng(3)
+    N, T, R, n_clips, n_tracks = 19, 4, 5, 40, 60
+    fi = np.stack(
+        [
+            rng.integers(0, n_clips, (N, T, 1 + R)),
+            rng.integers(0, n_tracks, (N, T, 1 + R)),
+            rng.integers(0, n_tracks, (N, T, 1 + R)),
+        ],
+        axis=-1,
+    ).astype(np.int32)
+    B, n_full = 8, 2
+    tidx, triples = localize_eval_ctx_triples(fi, B, n_full, n_tracks)
+    assert tidx.shape == (N, T, R) and tidx.dtype == np.int32
+    assert triples.shape[0] == n_full and triples.shape[2] == 3
+    assert triples.shape[1] % 8 == 0
+    for b in range(n_full):
+        rows = fi[b * B : (b + 1) * B, :, 1:, :]
+        rec = triples[b][tidx[b * B : (b + 1) * B]]
+        np.testing.assert_array_equal(rec, rows)
+        # per-batch dedup actually happened
+        key = (
+            rows[..., 0].astype(np.int64) * n_tracks + rows[..., 1]
+        ) * n_tracks + rows[..., 2]
+        n_uniq = np.unique(key).size
+        assert n_uniq <= triples.shape[1] < n_uniq + 8
+    # tail rows (beyond n_full*B) left as zeros
+    assert (tidx[n_full * B :] == 0).all()

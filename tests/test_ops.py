@@ -233,3 +233,87 @@ def test_fused_ctx_pool_hbm_packed_interpret():
     out = fused_ctx_pool(emb_p, idx, mask, True, force="interpret-hbm")
     assert np.asarray(out).dtype == np.float32
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_p), atol=1e-6)
+
+
+def _triple_inputs(emb, idx, packed=False):
+    """Build (fused local table, tidx, wc, wt) from 3-table kernel inputs:
+    the transform models/factory.apply_model performs from the per-batch
+    unique triples of data/localize.localize_eval_ctx_triples."""
+    import jax.numpy as jnp
+
+    from lirec_tpu.data.localize import localize_eval_ctx_triples
+
+    M, R, _ = idx.shape
+    nt = int(max(int(emb.tr1.shape[0]), int(np.asarray(idx).max()) + 1))
+    # localize_eval_ctx_triples expects [N, 1+R, 3] with slot 0 global
+    fi = np.concatenate(
+        [np.zeros((M, 1, 3), np.int32), np.asarray(idx)], axis=1
+    )
+    tidx, triples = localize_eval_ctx_triples(fi, M, 1, nt)
+    tri = triples[0]
+    e = _packed(emb) if packed else emb
+    fused = jnp.concatenate(
+        [e.clip[tri[:, 0]], e.tr1[tri[:, 1]], e.tr2[tri[:, 2]]], axis=-1
+    )
+    return fused, jnp.asarray(tidx), int(e.clip.shape[1]), int(e.tr1.shape[1])
+
+
+@pytest.mark.parametrize("guard", [True, False])
+@pytest.mark.parametrize("tile_m", [8, 16])
+def test_fused_ctx_pool_triple_interpret(guard, tile_m):
+    """The triple tier (ONE fused-row gather per context entry) vs the
+    3-table kernel's jnp reference: same values, 3x fewer gather issues."""
+    from lirec_tpu.ops.gather_pool import fused_ctx_pool, fused_ctx_pool_triple
+
+    emb, idx, mask = _fused_inputs(zero_row=guard)
+    ref = fused_ctx_pool(emb, idx, mask, guard, force="reference")
+    fused, tidx, wc, wt = _triple_inputs(emb, idx)
+    out = fused_ctx_pool_triple(fused, tidx, mask, wc, wt, guard,
+                                force="interpret", tile_m=tile_m)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_ctx_pool_triple_reference_bitwise():
+    """The triple tier's jnp fallback must be BITWISE equal to the 3-table
+    reference (per-segment pooling keeps XLA's reduction shapes identical)
+    — evaluate_packed's exact-metric contract rides on this."""
+    from lirec_tpu.ops.gather_pool import fused_ctx_pool, fused_ctx_pool_triple
+
+    emb, idx, mask = _fused_inputs(zero_row=True, seed=5)
+    ref = fused_ctx_pool(emb, idx, mask, True, force="reference")
+    fused, tidx, wc, wt = _triple_inputs(emb, idx)
+    out = fused_ctx_pool_triple(fused, tidx, mask, wc, wt, True,
+                                force="reference")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_fused_ctx_pool_triple_packed_bf16():
+    """Packed-bf16 fused rows (segment-wise int32 packing): the kernel
+    unpacks per segment and must match its own unpacked reference exactly,
+    and the f32 path at bf16 tolerance."""
+    from lirec_tpu.ops.gather_pool import fused_ctx_pool_triple
+
+    emb, idx, mask = _fused_inputs(zero_row=True, seed=9, Dc=512, Dt=256)
+    fused, tidx, wc, wt = _triple_inputs(emb, idx, packed=True)
+    assert fused.dtype == np.int32 and fused.shape[1] == wc + 2 * wt
+    ref_p = fused_ctx_pool_triple(fused, tidx, mask, wc, wt, True,
+                                  force="reference")
+    out = fused_ctx_pool_triple(fused, tidx, mask, wc, wt, True,
+                                force="interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_p), atol=1e-6)
+    fused_f, tidx_f, wcf, wtf = _triple_inputs(emb, idx)
+    ref_f = fused_ctx_pool_triple(fused_f, tidx_f, mask, wcf, wtf, True,
+                                  force="reference")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_f), atol=3e-2)
+
+
+def test_fused_ctx_pool_triple_gate_raises():
+    """Forcing the kernel on ineligible shapes must raise, never silently
+    fall back (the r1 silent-disable failure class)."""
+    from lirec_tpu.ops.gather_pool import fused_ctx_pool_triple
+
+    emb, idx, mask = _fused_inputs(M=10)  # M % 8 != 0 at tile 8... M=10
+    fused, tidx, wc, wt = _triple_inputs(emb, idx)
+    with pytest.raises(ValueError):
+        fused_ctx_pool_triple(fused, tidx[:, :], mask, wc, wt, True,
+                              force="interpret", tile_m=8)

@@ -57,15 +57,18 @@ def test_packed_matches_host_eval(synth_root, preset, mode, batch_size):
         )
 
 
+@pytest.mark.parametrize("tier", [True, "triple"])
 @pytest.mark.parametrize("preset,mode", [
     ("int_rel_ch", "test"),  # maxtracks ctx path
     ("int_rels", "val"),     # plain ctx path
 ])
-def test_packed_eval_ctx_localization_exact(synth_root, preset, mode):
-    """Forced eval ctx localization (data/localize.localize_eval_ctx +
-    the ctx_uniq_* plumbing) must reproduce the plain sweep's metric dict
+def test_packed_eval_ctx_localization_exact(synth_root, preset, mode, tier):
+    """Forced eval ctx localization — per-table tier (localize_eval_ctx +
+    ctx_uniq_* plumbing) and triple tier (localize_eval_ctx_triples +
+    ctx_tidx/ctx_triples) — must reproduce the plain sweep's metric dict
     EXACTLY: gathering each batch's unique embedded rows and pooling local
-    indices is the same math in the same order."""
+    indices is the same math in the same order (the triple fallback pools
+    per segment to keep XLA's reduction shapes identical)."""
     from lirec_tpu.ops import dispatch
 
     cfg = _preset_cfg(synth_root, preset, 8)
@@ -83,10 +86,13 @@ def test_packed_eval_ctx_localization_exact(synth_root, preset, mode):
     )
     localized = evaluate_packed(
         ds, bundle, bundle.params, cfg, mode=mode, verbose=False,
-        localize_ctx=True,
+        localize_ctx=tier,
     )
     rec = dispatch.last_dispatch("eval_ctx_localize")
     assert rec and rec["path"] == "on" and rec["reason"] == "forced"
+    assert rec["shapes"]["tier"] == (
+        "triple" if tier == "triple" else "tables"
+    )
     assert set(plain) == set(localized)
     for key in plain:
         np.testing.assert_array_equal(
@@ -96,7 +102,7 @@ def test_packed_eval_ctx_localization_exact(synth_root, preset, mode):
     # the cached analysis is reused on a second localized eval
     again = evaluate_packed(
         ds, bundle, bundle.params, cfg, mode=mode, verbose=False,
-        localize_ctx=True,
+        localize_ctx=tier,
     )
     assert {k: float(v) for k, v in again.items()} == {
         k: float(v) for k, v in localized.items()

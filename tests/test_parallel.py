@@ -265,12 +265,20 @@ def test_packed_eval_spmd_kernel_path_matches(synth_root):
     localized = evaluate_packed(ds, bundle, bundle.params, cfg, mode="test",
                                 verbose=False, mesh=mesh,
                                 use_pallas="interpret", localize_ctx=True)
+    # triple tier under SPMD: fused local table replicated, tidx/mask
+    # sharded over 'data'; the triple kernel runs per-device via shard_map
+    tripled = evaluate_packed(ds, bundle, bundle.params, cfg, mode="test",
+                              verbose=False, mesh=mesh,
+                              use_pallas="interpret",
+                              localize_ctx="triple")
     assert set(single) == set(sharded)
     for key in single:
         np.testing.assert_allclose(sharded[key], single[key], rtol=1e-6,
                                    atol=1e-6, err_msg=key)
         np.testing.assert_allclose(localized[key], single[key], rtol=1e-6,
                                    atol=1e-6, err_msg="localized " + key)
+        np.testing.assert_allclose(tripled[key], single[key], rtol=1e-6,
+                                   atol=1e-6, err_msg="triple " + key)
 
 
 def test_cli_mesh_train_and_eval(synth_root, tmp_path):

@@ -48,9 +48,12 @@ def main():
         "loader's per-sample locality — see utils/fake_batch.py)",
     )
     ap.add_argument(
-        "--localize", choices=("ablate", "on", "off"), default="ablate",
-        help="batch-local table projection for the train step: 'ablate' "
-        "(default) measures both and reports the delta in one session",
+        "--localize", choices=("ablate", "on", "off", "tables", "triple"),
+        default="ablate",
+        help="batch-local table projection for the train step / ctx "
+        "localization tier for eval: 'ablate' (default) measures "
+        "off + the forced per-table tier + the forced triple tier in one "
+        "session; 'tables'/'triple' force one eval tier",
     )
     args = ap.parse_args()
 
@@ -72,8 +75,12 @@ def main():
             # AUTO in the same session (auto == off below the VMEM gate,
             # where the second run just confirms the dispatch decision)
             ev_variants = (
-                ((False, ""), (None, "_loc")) if args.localize == "ablate"
-                else (({"on": True, "off": False}[args.localize], ""),)
+                ((False, ""), ("tables", "_loc"), ("triple", "_tri"))
+                if args.localize == "ablate"
+                else ((
+                    {"on": True, "off": False}.get(
+                        args.localize, args.localize
+                    ), ""),)
             )
             for loc_flag, lsuf in ev_variants:
                 t0 = time.time()
@@ -84,7 +91,11 @@ def main():
                     structured=not args.iid_batches,
                     localize_ctx=loc_flag,
                 )
-                ctx = dispatch.last_dispatch("fused_ctx_pool")
+                ctx = (
+                    dispatch.last_dispatch("fused_ctx_pool_triple")
+                    if loc_flag == "triple"
+                    else dispatch.last_dispatch("fused_ctx_pool")
+                )
                 locd = dispatch.last_dispatch("eval_ctx_localize")
                 key = "eval" + lsuf + suffix
                 out[key + "_clips_per_sec"] = round(
@@ -109,7 +120,7 @@ def main():
             # run the same 'full' sweep at the stress cardinalities instead
             variants = (
                 (False, True) if args.localize == "ablate"
-                else (args.localize == "on",)
+                else (args.localize in ("on", "tables", "triple"),)
             )
             for localize in variants:
                 res = _train_at_scale(args, B, localize=localize)
