@@ -33,6 +33,7 @@ __all__ = [
     "ctx_tables_cast_dtype",
     "pack_bf16_table",
     "unpack_bf16_table",
+    "matmul_pool_estimate_us",
 ]
 
 TILE_M = 8  # f32 sublane count
@@ -833,6 +834,62 @@ def _triple_pallas_call(fused, tidx, mask, wc, wt, guard_zero,
     )(idx_tiled, mask_tiled, fused)
 
 
+def matmul_pool_estimate_us(M: int, R: int, U: int, d_logical: int):
+    """(matmul_tier_us, kernel_tier_us) cost model for the triple-tier
+    dispatch below. Constants are measured on v5e (BENCH.md r4-final
+    trace): the gather kernel is ISSUE-bound at ~9.8 ns per dynamic
+    single-row VMEM gather (225 us / 23,040 issues); the matmul tier pays
+    an MXU pass (M*U*d bf16 FLOPs at ~150 TFLOP/s sustained — below the
+    197 peak: the S operand is skinny) plus the VPU one-hot build of S
+    (M*R*U fused compare+select+add at ~3 Telem/s). The crossover is at
+    U ~ 4-5k for the real eval shapes — exactly the regime the triple
+    localization produces (U <= ~3k at real-split B=64)."""
+    matmul_us = (M * U * d_logical * 2) / 150e6 + (M * R * U * 3) / 3e6
+    kernel_us = M * R * 9.8e-3
+    return matmul_us, kernel_us
+
+
+def _matmul_pool(fused, tidx, mask, wc, wt, guard_zero):
+    """MXU tier of the triple ctx pool: pooled = S @ T_local.
+
+    S[m, u] = sum_r mask[m, r] * (tidx[m, r] == u) — a per-batch one-hot
+    row-selection matrix built with R fused compare+add passes on the VPU
+    — and T_local is the batch's unique fused [clip|tr1|tr2] rows. The
+    r4-final trace proved the gather kernel issue-bound (23,040 dynamic
+    single-row gathers at ~9.8 ns each); expressing the pool as a matmul
+    moves it to the MXU where the same work is ~M*U*d*2 FLOPs of dense
+    bf16 — the idiomatic TPU formulation of a small-vocabulary gather.
+
+    Numerics: T rows are exact bf16 values (pack_bf16_table rounded them
+    already), mask weights are 0/1, and the MXU accumulates f32 — the only
+    delta vs the gather kernel is summation ORDER (u-order vs r-order) and
+    duplicate triples entering as one multiplicity-weighted product, a
+    last-bit f32 effect bounded far below the bf16 table rounding the
+    packed tier already carries. f32 tables run the matmul in f32
+    (preferred_element_type) and are only selected by force='matmul'.
+    """
+    packed = fused.dtype == jnp.int32
+    tab = unpack_fused_table(fused, wc, wt) if packed else fused
+    if packed:
+        tab = tab.astype(jnp.bfloat16)  # exact: values already bf16-rounded
+    M, R = tidx.shape
+    U = fused.shape[0]
+    divider = mask.sum(axis=-1, keepdims=True)
+    if guard_zero:
+        divider = jnp.where(divider == 0, 1.0, divider)
+    uio = jax.lax.iota(jnp.int32, U)[None, :]
+    s = jnp.zeros((M, U), jnp.float32)
+    mask_f = mask.astype(jnp.float32)
+    for r in range(R):
+        s = s + jnp.where(tidx[:, r, None] == uio, mask_f[:, r, None], 0.0)
+    pooled = jax.lax.dot_general(
+        s.astype(tab.dtype), tab,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.tanh(pooled / divider.astype(jnp.float32))
+
+
 def fused_ctx_pool_triple(
     fused: jnp.ndarray,
     tidx: jnp.ndarray,
@@ -850,7 +907,14 @@ def fused_ctx_pool_triple(
     PHYSICAL clip/track segment widths. One dynamic row gather per
     (m, r) — 3x fewer issues than fused_ctx_pool at identical numerics
     (same values, same accumulation order).
-    force: 'auto' | 'pallas' | 'interpret' | 'reference'
+    force: 'auto' | 'pallas' | 'matmul' | 'interpret' | 'reference'
+
+    auto on TPU picks between the gather KERNEL (issue-bound: ~9.8 ns per
+    entry per table) and the MXU MATMUL tier (_matmul_pool: one-hot
+    S @ T_local) with the matmul_pool_estimate_us cost model; the matmul
+    tier is auto-eligible only for packed-bf16 tables (an f32 matmul at
+    default precision would silently round to bf16 — precision-first f32
+    sessions keep the kernel's exact f32 accumulation over f32 rows).
     """
     tidx = jnp.asarray(tidx, jnp.int32)
     mask = jnp.asarray(mask)
@@ -904,6 +968,10 @@ def fused_ctx_pool_triple(
         _record_dispatch("fused_ctx_pool_triple", "reference", "forced",
                          shapes)
         return reference()
+    if force == "matmul":
+        _record_dispatch("fused_ctx_pool_triple", "matmul", "forced",
+                         shapes)
+        return _matmul_pool(fused, tidx, mask, wc, wt, guard_zero_divide)
     ok = (
         M % tile_m == 0
         and fused.dtype in (jnp.float32, jnp.int32)
@@ -925,6 +993,22 @@ def fused_ctx_pool_triple(
             interpret=True, tile_m=tile_m,
         )
     on_tpu = jax.default_backend() == "tpu"
+    if force == "auto" and on_tpu and packed:
+        # MXU-vs-kernel cost model: the matmul tier wins while the local
+        # table stays small (U below ~4-5k at real eval shapes)
+        d_logical = 2 * (wc + 2 * wt)
+        mm_us, kr_us = matmul_pool_estimate_us(
+            M, R, fused.shape[0], d_logical
+        )
+        if mm_us < (kr_us if ok else float("inf")):
+            _record_dispatch(
+                "fused_ctx_pool_triple", "matmul",
+                "auto: est %.0fus (matmul) < %.0fus (gather kernel)"
+                % (mm_us, kr_us), shapes,
+            )
+            return _matmul_pool(
+                fused, tidx, mask, wc, wt, guard_zero_divide
+            )
     if force == "pallas" or (force == "auto" and on_tpu and ok):
         _record_dispatch(
             "fused_ctx_pool_triple", "pallas",

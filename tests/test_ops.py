@@ -307,6 +307,42 @@ def test_fused_ctx_pool_triple_packed_bf16():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_f), atol=3e-2)
 
 
+@pytest.mark.parametrize("guard", [True, False])
+@pytest.mark.parametrize("packed", [False, True])
+def test_fused_ctx_pool_matmul_tier(guard, packed):
+    """The MXU tier (pooled = one-hot S @ T_local) vs the jnp reference:
+    identical values up to f32 summation ORDER (u-order with multiplicity
+    weights instead of r-order), so allclose — never bitwise — and at bf16
+    table tolerance for packed inputs."""
+    from lirec_tpu.ops.gather_pool import fused_ctx_pool_triple
+
+    emb, idx, mask = _fused_inputs(zero_row=guard, seed=21, Dc=512, Dt=256)
+    fused, tidx, wc, wt = _triple_inputs(emb, idx, packed=packed)
+    ref = fused_ctx_pool_triple(fused, tidx, mask, wc, wt, guard,
+                                force="reference")
+    out = fused_ctx_pool_triple(fused, tidx, mask, wc, wt, guard,
+                                force="matmul")
+    assert np.asarray(out).dtype == np.float32
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_matmul_pool_cost_model():
+    """Auto dispatch crossover: small local tables pick the matmul tier,
+    big ones keep the gather kernel (constants from the r4-final trace)."""
+    from lirec_tpu.ops.gather_pool import matmul_pool_estimate_us
+
+    # real-split shape: M=1280, R=18, U~3k, d=1536 -> matmul wins
+    mm, kr = matmul_pool_estimate_us(1280, 18, 3080, 1536)
+    assert mm < kr
+    # the kernel estimate matches the measured 225us within ~5%
+    assert abs(kr - 225.8) / 225.8 < 0.05
+    # big local table (U=12k): the kernel wins
+    mm_big, kr_big = matmul_pool_estimate_us(1280, 18, 12288, 1536)
+    assert mm_big > kr_big
+
+
 def test_fused_ctx_pool_triple_gate_raises():
     """Forcing the kernel on ineligible shapes must raise, never silently
     fall back (the r1 silent-disable failure class)."""

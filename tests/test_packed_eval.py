@@ -66,9 +66,23 @@ def test_packed_eval_ctx_localization_exact(synth_root, preset, mode, tier):
     """Forced eval ctx localization — per-table tier (localize_eval_ctx +
     ctx_uniq_* plumbing) and triple tier (localize_eval_ctx_triples +
     ctx_tidx/ctx_triples) — must reproduce the plain sweep's metric dict
-    EXACTLY: gathering each batch's unique embedded rows and pooling local
-    indices is the same math in the same order (the triple fallback pools
-    per segment to keep XLA's reduction shapes identical)."""
+    to ULP tolerance: gathering each batch's unique embedded rows and
+    pooling local indices is the same math in the same HLO order (the
+    triple fallback pools per segment to keep XLA's reduction shapes
+    identical).
+
+    Why ULP and not bitwise (the r4 flake, root-caused r5 — PARITY.md
+    "eval-localization exactness"): XLA:CPU's LLVM backend vectorizes the
+    R=18 pooling reduce DIFFERENTLY in the two (HLO-identical) fusion
+    bodies — the localized one carries an extra inner gather — so the f32
+    sums reassociate and differ in the last bit for ~all inputs
+    (tools/probe_localize_codegen.py: 100/100 random trials). Whether a
+    last-bit pool delta survives tanh/matmul into a metric depends on the
+    data hitting a rounding boundary; PYTHONHASHSEED shuffles the
+    dataset's string orderings enough that seed 30 (deterministically)
+    moved `loss` by 1 ulp while most seeds don't. Integer counters are
+    unaffected ordinarily; rtol=2e-6 keeps the test meaningful (a real
+    localization bug — wrong rows, wrong mask — moves metrics by >1e-3)."""
     from lirec_tpu.ops import dispatch
 
     cfg = _preset_cfg(synth_root, preset, 8)
@@ -94,10 +108,16 @@ def test_packed_eval_ctx_localization_exact(synth_root, preset, mode, tier):
         "triple" if tier == "triple" else "tables"
     )
     assert set(plain) == set(localized)
+    # on failure: emit the dispatch log + loc-cache state so the next
+    # occurrence is diagnosable from the CI output alone (VERDICT r4 §1)
+    diag = "dispatch=%r loc_cache_key=%r" % (
+        rec, getattr(ds, "_eval_ctx_loc_cache", (None, None))[1],
+    )
     for key in plain:
-        np.testing.assert_array_equal(
+        np.testing.assert_allclose(
             np.asarray(localized[key]), np.asarray(plain[key]),
-            err_msg="%s/%s metric %r" % (preset, mode, key),
+            rtol=2e-6, atol=1e-7,
+            err_msg="%s/%s metric %r [%s]" % (preset, mode, key, diag),
         )
     # the cached analysis is reused on a second localized eval
     again = evaluate_packed(
