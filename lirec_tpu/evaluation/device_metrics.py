@@ -16,6 +16,8 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
+from lirec_tpu.ops.select import select_along_axis
+
 __all__ = ["grounding_predictions"]
 
 
@@ -33,7 +35,6 @@ def grounding_predictions(
     Returns small per-sample vectors (argmaxes over masked sigmoids).
     """
     B, T, C = pr_probs_cl.shape
-    rows = jnp.arange(B)
     valid = mask[:, :, None] > 0
     cl = jnp.where(valid, pr_probs_cl.astype(jnp.float32), -jnp.inf)
     s_cl = jax.nn.sigmoid(cl)
@@ -43,14 +44,15 @@ def grounding_predictions(
     out["cls_argmax"] = jnp.argmax(s_cl, axis=2)  # [B, T]
 
     if pr_probs_rels is None:
-        col = jnp.take_along_axis(
-            s_cl, gt_classes[:, None, None].astype(jnp.int32).repeat(T, 1),
-            axis=2,
-        )[:, :, 0]
+        col = select_along_axis(
+            s_cl, gt_classes[:, None].astype(jnp.int32), axis=2
+        )
         out["pr_track"] = jnp.argmax(col, axis=1)
         max_c = s_cl.max(axis=2)
         out["t_star"] = jnp.argmax(max_c, axis=1)
-        out["c_star"] = jnp.argmax(s_cl[rows, out["t_star"], :], axis=1)
+        out["c_star"] = jnp.argmax(
+            select_along_axis(s_cl, out["t_star"][:, None], axis=1), axis=1
+        )
         return out
 
     rl = jnp.where(valid, pr_probs_rels.astype(jnp.float32), -jnp.inf)
@@ -62,20 +64,15 @@ def grounding_predictions(
     out["rels_argmax"] = jnp.argmax(rl, axis=2)  # [B, T] over R (no pad)
 
     rel0 = gt_rels[:, 0].astype(jnp.int32)
-    col = (
-        jnp.take_along_axis(
-            s_cl, gt_classes[:, None, None].astype(jnp.int32).repeat(T, 1),
-            axis=2,
-        )[:, :, 0]
-        + jnp.take_along_axis(
-            s_rlp, rel0[:, None, None].repeat(T, 1), axis=2
-        )[:, :, 0]
-    )
+    col = select_along_axis(
+        s_cl, gt_classes[:, None].astype(jnp.int32), axis=2
+    ) + select_along_axis(s_rlp, rel0[:, None], axis=2)
     out["pr_track"] = jnp.argmax(col, axis=1)
     # separable joint argmax (see evaluation/metrics.py)
     max_c = s_cl.max(axis=2)
     max_r = s_rlp.max(axis=2)
     out["t_star"] = jnp.argmax(max_c + max_r, axis=1)
-    out["c_star"] = jnp.argmax(s_cl[rows, out["t_star"], :], axis=1)
-    out["r_star"] = jnp.argmax(s_rlp[rows, out["t_star"], :], axis=1)
+    t_row = out["t_star"][:, None]
+    out["c_star"] = jnp.argmax(select_along_axis(s_cl, t_row, axis=1), axis=1)
+    out["r_star"] = jnp.argmax(select_along_axis(s_rlp, t_row, axis=1), axis=1)
     return out

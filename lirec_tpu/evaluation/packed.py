@@ -55,6 +55,12 @@ def allreduce_carry(carry):
         return carry
     from jax.experimental import multihost_utils
 
+    from lirec_tpu.parallel.mesh import coordination_barrier
+
+    # absorb per-process skew (each process just compiled+swept its own
+    # shard) over the coordination service BEFORE the first gloo
+    # collective — its context formation has a hard ~30 s deadline
+    coordination_barrier("eval_allreduce")
     host = jax.tree.map(np.asarray, carry)
     gathered = multihost_utils.process_allgather(host)
     out = {}
@@ -565,6 +571,8 @@ def evaluate_packed(
             embed_jit, params, tables, label="embed_all"
         )(params, tables)
     else:
+        # meshed embeds run on replicated inputs only after the
+        # device_put below; the first (host-array) call stays plain jit
         embedded = embed_jit(params, tables)
     init_carry, step = device_sweep_builder(
         bundle, t, n_classes, n_rels, n_hashes,
@@ -649,7 +657,12 @@ def evaluate_packed(
             n = next(iter(data.values())).shape[0]
             return jax.lax.fori_loop(0, n, body, init_carry())
 
-        carry = sweep_spmd(params_r, tables_r, embedded_r, data_sh, loc_sh)
+        # the SPMD sweep rides the AOT executable cache too (r5): the key
+        # pins the mesh's device layout and this process's index/count
+        carry = aot_cache.cached_compile(
+            sweep_spmd, params_r, tables_r, embedded_r, data_sh, loc_sh,
+            label="eval_sweep_spmd", mesh=mesh,
+        )(params_r, tables_r, embedded_r, data_sh, loc_sh)
         tail_data = {k: jnp.asarray(v) for k, v in data.items()}
         params, tables, embedded = params_r, tables_r, embedded_r
 
@@ -663,13 +676,10 @@ def evaluate_packed(
                 bundle, t, n_classes, n_rels, n_hashes, use_pallas=False,
             )
         tail_jit = jax.jit(tail_step)
-        if mesh is None:
-            carry = aot_cache.cached_compile(
-                tail_jit, params, tables, embedded, carry, tail_batch,
-                label="eval_tail",
-            )(params, tables, embedded, carry, tail_batch)
-        else:
-            carry = tail_jit(params, tables, embedded, carry, tail_batch)
+        carry = aot_cache.cached_compile(
+            tail_jit, params, tables, embedded, carry, tail_batch,
+            label="eval_tail", mesh=mesh,
+        )(params, tables, embedded, carry, tail_batch)
     # multi-host: each process evaluates its own data shard on its local
     # devices; the counters reduce across processes here (no-op otherwise)
     carry = allreduce_carry(carry)

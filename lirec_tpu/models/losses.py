@@ -23,6 +23,8 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
+from lirec_tpu.ops.select import select_along_axis
+
 __all__ = [
     "max_margin_ce_loss",
     "multitask_max_margin_loss",
@@ -76,7 +78,7 @@ def max_margin_ce_loss(
         "multilab_weights"
     ].astype(jnp.float32)
     s = jax.nn.sigmoid(logits.astype(jnp.float32))
-    pos = jnp.take_along_axis(s, target[:, None], axis=1)[:, 0]
+    pos = select_along_axis(s, target, axis=1)
     return _wmean(_pair_margin(s, pos, neg_mask, margin), _batch_weight(batch))
 
 
@@ -102,7 +104,7 @@ def multitask_max_margin_loss(
             "multilab_weights"
         ].astype(jnp.float32)
         s = jax.nn.sigmoid(inters.astype(jnp.float32))
-        pos = jnp.take_along_axis(s, target[:, None], axis=1)[:, 0]
+        pos = select_along_axis(s, target, axis=1)
         loss = loss + lymbda * _wmean(
             _pair_margin(s, pos, neg_mask, margin), bw
         )
@@ -115,7 +117,7 @@ def multitask_max_margin_loss(
         safe_target = jnp.clip(target_rels, 0, rels.shape[-1] - 1)
         neg_mask = 1.0 - _one_hot(safe_target, rels.shape[-1])
         s = jax.nn.sigmoid(rels)
-        pos = jnp.take_along_axis(s, safe_target[:, None], axis=1)[:, 0]
+        pos = select_along_axis(s, safe_target, axis=1)
         per_sample = _pair_margin(s, pos, neg_mask, margin)
         count = jnp.maximum(valid.sum(), 1.0)
         loss = loss + (per_sample * valid).sum() / count
@@ -133,7 +135,7 @@ def multitask_ce_loss(
     logits = outputs["inters"].astype(jnp.float32)
     target = batch["labels"].reshape(-1).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, target[:, None], axis=1)[:, 0]
+    nll = -select_along_axis(logp, target, axis=1)
     bw = _batch_weight(batch)
     if weights is not None:
         w = weights[target]
@@ -149,7 +151,7 @@ def multitask_ce_loss(
     rels = outputs["rels"].astype(jnp.float32)
     safe_target = jnp.clip(target_rels, 0, rels.shape[-1] - 1)
     logp_r = jax.nn.log_softmax(rels, axis=-1)
-    nll_r = -jnp.take_along_axis(logp_r, safe_target[:, None], axis=1)[:, 0]
+    nll_r = -select_along_axis(logp_r, safe_target, axis=1)
     count = valid.sum()
     loss = loss + jnp.where(
         count > 0, (nll_r * valid).sum() / jnp.maximum(count, 1.0), 0.0
@@ -188,9 +190,7 @@ def margin_loss(
     else:
         neg_mask = neg_mask * (1.0 - cls_oh[:, None, :])
 
-    col = jnp.take_along_axis(
-        x, target[:, None, None].repeat(T, 1), axis=2
-    )[:, :, 0]  # [B, T] logits at the GT class
+    col = select_along_axis(x, target[:, None], axis=2)  # [B, T] at GT class
     s = jax.nn.sigmoid(x)
     if tr_cat_distr:
         max_idxs = jax.random.categorical(rng, col, axis=1)
@@ -199,9 +199,7 @@ def margin_loss(
     else:
         s_col = jax.nn.sigmoid(col)
         max_idxs = jnp.argmax(s_col * mem, axis=1)
-    pos = jnp.take_along_axis(
-        jax.nn.sigmoid(col), max_idxs[:, None], axis=1
-    )[:, 0]
+    pos = select_along_axis(jax.nn.sigmoid(col), max_idxs, axis=1)
 
     if tr_max_neg and tr_sum_max_flag:
         neg_max = (s * neg_mask).max(axis=2)  # [B, T]
@@ -264,20 +262,18 @@ def margin_track_rels_loss(
         neg_mask_rels = neg_mask_rels * (1.0 - rel_oh)
     else:
         neg_mask_ints = neg_mask_ints * (1.0 - cls_oh[:, None, :])
-        rel_at_gt0 = jnp.take_along_axis(target_rels, gt[:, :1], axis=1)[:, 0]
-        rel_at_gt1 = jnp.take_along_axis(target_rels, gt[:, 1:2], axis=1)[:, 0]
+        rel_at_gt0 = select_along_axis(target_rels, gt[:, 0], axis=1)
+        rel_at_gt1 = select_along_axis(target_rels, gt[:, 1], axis=1)
         gt_rel_oh = jnp.minimum(
             _one_hot(rel_at_gt0, R + 1) + _one_hot(rel_at_gt1, R + 1), 1.0
         )
         neg_mask_rels = neg_mask_rels * (1.0 - gt_rel_oh[:, None, :])
 
-    rel_at_gt0 = jnp.take_along_axis(target_rels, gt[:, :1], axis=1)[:, 0]
-    col_ints = jnp.take_along_axis(
-        ints, target[:, None, None].repeat(T, 1), axis=2
-    )[:, :, 0]  # [B, T]
-    col_rels = jnp.take_along_axis(
-        rels_p, rel_at_gt0[:, None, None].repeat(T, 1), axis=2
-    )[:, :, 0]  # [B, T]
+    rel_at_gt0 = select_along_axis(target_rels, gt[:, 0], axis=1)
+    col_ints = select_along_axis(ints, target[:, None], axis=2)  # [B, T]
+    col_rels = select_along_axis(
+        rels_p, rel_at_gt0[:, None], axis=2
+    )  # [B, T]
 
     s_ints = jax.nn.sigmoid(ints)
     s_rels = jax.nn.sigmoid(rels_p)
@@ -295,8 +291,8 @@ def margin_track_rels_loss(
         mat = s_col_ints + s_col_rels
         max_idxs = jnp.argmax(mat * mem, axis=1)
 
-    pos = jnp.take_along_axis(s_col_ints, max_idxs[:, None], axis=1)[:, 0]
-    pos_rels = jnp.take_along_axis(s_col_rels, max_idxs[:, None], axis=1)[:, 0]
+    pos = select_along_axis(s_col_ints, max_idxs, axis=1)
+    pos_rels = select_along_axis(s_col_rels, max_idxs, axis=1)
 
     bw = _batch_weight(batch)
     if tr_max_neg and tr_sum_max_flag:

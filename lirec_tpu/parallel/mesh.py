@@ -33,7 +33,38 @@ __all__ = [
     "initialize_distributed",
     "process_local_slice",
     "global_batch_from_local",
+    "coordination_barrier",
 ]
+
+_BARRIER_COUNTS: dict = {}
+
+
+def coordination_barrier(tag: str, timeout_s: int = 600) -> None:
+    """Align all processes at a symmetric program point over the
+    coordination SERVICE (plain TCP), not over device collectives.
+
+    Gloo context formation inside XLA:CPU has a hard ~30 s key-exchange
+    deadline; host-side skew larger than that — compile-time asymmetry,
+    the AOT cache's serialize work — kills the whole cluster at its first
+    collective ("Gloo context initialization failed: DEADLINE_EXCEEDED").
+    Calling this right before a collective program's first execution
+    absorbs the skew where the timeout is generous, so the 30 s window
+    only has to cover the actual context handshake. No-op
+    single-process. Every process must reach the same ``tag`` sequence
+    (a per-tag counter keeps repeated uses unique)."""
+    if jax.process_count() == 1:
+        return
+    n = _BARRIER_COUNTS.get(tag, 0)
+    _BARRIER_COUNTS[tag] = n + 1
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        if client is None:
+            return
+        client.wait_at_barrier("lirec_%s_%d" % (tag, n), timeout_s * 1000)
+    except ImportError:
+        pass  # private-API layout changed: fall back to raw gloo timing
 
 
 def host_copy(tree):

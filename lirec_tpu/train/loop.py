@@ -119,10 +119,11 @@ def make_epoch_sweep(bundle, tx, mesh=None):
     return sweep
 
 
-def _aot_wrap_step(jitted_step):
+def _aot_wrap_step(jitted_step, mesh=None):
     """AOT-cache the per-batch train step (--per-batch-train and the
     dense oracle path), memoized per batch shape — same contract as
-    `_aot_wrap_sweep`."""
+    `_aot_wrap_sweep`. Meshed/multi-process steps are cached too (r5);
+    the mesh fingerprint rides the cache key."""
     from lirec_tpu.utils import aot_cache
 
     memo = {}
@@ -136,20 +137,29 @@ def _aot_wrap_step(jitted_step):
         if fn is None:
             fn = aot_cache.cached_compile(
                 jitted_step, params, opt_state, batch, tables, rng,
-                label="train_step",
+                label="train_step", mesh=mesh,
                 tr_sum_max_flag=bool(tr_sum_max_flag),
             )
             memo[key] = fn
+            # pre-first-execution barrier: compile/AOT-serialize skew
+            # between processes must not eat the ~30 s gloo context
+            # deadline (parallel/mesh.coordination_barrier; no-op 1-proc)
+            from lirec_tpu.parallel.mesh import coordination_barrier
+
+            coordination_barrier("train_step_compile")
         return fn(params, opt_state, batch, tables, rng)
 
     return call
 
 
-def _aot_wrap_sweep(jitted_sweep):
+def _aot_wrap_sweep(jitted_sweep, mesh=None):
     """Route the epoch sweep through the AOT executable cache
     (utils/aot_cache.py — dodges the remote compile-at-load on cold
     starts). Memoized per (n_steps, curriculum flag) so each distinct
-    sweep shape lowers once per process, exactly like jit's own cache."""
+    sweep shape lowers once per process, exactly like jit's own cache.
+    Meshed/multi-process sweeps are cached too (r5, VERDICT r4 item 4) —
+    the mesh fingerprint (device layout) and process index/count ride
+    the cache key."""
     from lirec_tpu.utils import aot_cache
 
     memo = {}
@@ -167,10 +177,14 @@ def _aot_wrap_sweep(jitted_sweep):
         if fn is None:
             fn = aot_cache.cached_compile(
                 jitted_sweep, params, opt_state, stacked, tables,
-                base_rng, rng_offset, label="train_sweep",
+                base_rng, rng_offset, label="train_sweep", mesh=mesh,
                 tr_sum_max_flag=bool(tr_sum_max_flag),
             )
             memo[key] = fn
+            # pre-first-execution barrier (see _aot_wrap_step)
+            from lirec_tpu.parallel.mesh import coordination_barrier
+
+            coordination_barrier("train_sweep_compile")
         return fn(params, opt_state, stacked, tables, base_rng, rng_offset)
 
     return call
@@ -346,17 +360,15 @@ def train(
     def localized(batches):
         return localizer.maybe_localize(batches) if localizer else batches
 
-    step = make_train_step(bundle, tx, mesh=mesh)
-    if mesh is None:
-        step = _aot_wrap_step(step)
+    step = _aot_wrap_step(make_train_step(bundle, tx, mesh=mesh), mesh=mesh)
     if epoch_sweep is None:
         epoch_sweep = not dense
     use_sweep = (
         epoch_sweep and not dense and (not multiprocess or mesh is not None)
     )
     sweep = make_epoch_sweep(bundle, tx, mesh=mesh) if use_sweep else None
-    if sweep is not None and mesh is None:
-        sweep = _aot_wrap_sweep(sweep)
+    if sweep is not None:
+        sweep = _aot_wrap_sweep(sweep, mesh=mesh)
 
     def commit_stacked(stacked):
         if mesh is None:

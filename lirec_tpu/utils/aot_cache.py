@@ -21,8 +21,15 @@ Scope guards:
   StableHLO and misses cleanly;
 - the device fingerprint (platform, device kind, device count) keeps an
   executable from ever loading on different hardware;
-- multi-process runs bypass the cache (executables embed device
-  assignments; process-local cache hits could skew collective timing).
+- meshed/multi-process programs ARE cached (r5 — VERDICT r4 item 4: the
+  cold-start fix must cover the launch modes that pay the most): the key
+  additionally folds in the mesh fingerprint (shape, axis names, device
+  ids in mesh order — the IR alone does not pin which physical device
+  sits at which mesh position) and the process (index, count). In a
+  multi-process run each process keys its own entry; after the first
+  cold run every process hits. A mixed hit/miss round (e.g. one process's
+  file was pruned) is functionally fine — the hitting processes simply
+  wait at the first collective while the missing one compiles.
 
 Enablement: LIREC_TPU_AOT=1 forces on, =0 forces off; default ON for
 TPU-class backends (axon/tpu), OFF for CPU (tests force it on with the
@@ -39,10 +46,26 @@ from typing import Optional
 
 from lirec_tpu.ops import dispatch
 
-__all__ = ["cached_compile", "enabled", "cache_dir", "prune"]
+__all__ = [
+    "cached_compile", "enabled", "cache_dir", "prune", "stats",
+    "reset_stats",
+]
 
 _SCHEMA = 1
 _MAX_BYTES = 4 * 1024**3  # cache-dir budget; oldest entries pruned past it
+
+# per-process counters (observability: bench JSON aot splits, the
+# multi-process hit assertions in tests) — reset with reset_stats()
+_STATS = {"hit": 0, "miss": 0, "bypass": 0}
+
+
+def stats() -> dict:
+    return dict(_STATS)
+
+
+def reset_stats() -> None:
+    for k in _STATS:
+        _STATS[k] = 0
 
 
 def prune(dir_path: str, max_bytes: int = _MAX_BYTES) -> None:
@@ -98,22 +121,86 @@ def _backend_default_on(jax) -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-def cached_compile(jitted, *args, label: str = "fn", **lower_kwargs):
+def _mesh_fingerprint(mesh) -> str:
+    """Pin the executable to the mesh's exact device layout: the lowered
+    IR carries shardings but NOT which physical device sits at which mesh
+    position, and a deserialized executable runs on its embedded
+    assignment regardless of the caller's mesh."""
+    if mesh is None:
+        return ""
+    return "mesh:%s:%s:%s" % (
+        tuple(mesh.axis_names),
+        tuple(mesh.shape.values()),
+        tuple(int(d.id) for d in mesh.devices.flat),
+    )
+
+
+class _VerifyOnFirstCall:
+    """Self-healing wrapper for a deserialized executable.
+
+    XLA:CPU deserialization is best-effort: some programs produce blobs
+    whose internal fusion functions fail to resolve at buffer fetch
+    ("Buffer Definition Event: Function <fusion> not found") — observed
+    on the multiprocess CLI eval sweep, not at load time but at first
+    execution. The wrapper blocks on the FIRST call's outputs; on failure
+    it drops the cache file, recompiles genuinely from the retained
+    lowering, and re-executes — so a corrupt blob costs one compile, not
+    the run. Executes exactly once per call either way, keeping
+    multiprocess collective pairing symmetric with peers that missed the
+    cache. Residual: a failed first execution of a buffer-DONATING
+    program may have consumed its donated inputs — the healing
+    re-execution then fails too (loudly), same as the unwrapped crash.
+    """
+
+    def __init__(self, loaded, lowered, path, label):
+        self._fn = loaded
+        self._lowered = lowered
+        self._path = path
+        self._label = label
+        self._verified = False
+
+    def __call__(self, *args):
+        if self._verified:
+            return self._fn(*args)
+        import jax
+
+        try:
+            out = self._fn(*args)
+            jax.block_until_ready(out)
+        except Exception as e:
+            dispatch.record(
+                "aot_cache", "compile", "exec-failed:%s" % type(e).__name__,
+                {"label": self._label},
+            )
+            try:
+                os.remove(self._path)
+            except OSError:
+                pass
+            self._fn = self._lowered.compile()
+            out = self._fn(*args)
+        self._verified = True
+        self._lowered = None  # free the retained jaxpr
+        return out
+
+
+def cached_compile(jitted, *args, label: str = "fn", mesh=None,
+                   **lower_kwargs):
     """`jitted.lower(*args, **lower_kwargs).compile()` with an on-disk
     executable cache. Returns a callable taking the same dynamic args.
 
     `jitted` must be a `jax.jit`-wrapped function; static args go in
     `lower_kwargs` (they are baked into the executable — call the result
-    with the dynamic args only).
+    with the dynamic args only). Pass ``mesh`` for SPMD programs so the
+    key pins the device layout (see _mesh_fingerprint).
     """
     import jax
 
     on = enabled()
     if on is None:
         on = _backend_default_on(jax)
-    if not on or jax.process_count() > 1:
-        reason = "disabled" if not on else "multi-process"
-        dispatch.record("aot_cache", "compile", reason, {"label": label})
+    if not on:
+        _STATS["bypass"] += 1
+        dispatch.record("aot_cache", "compile", "disabled", {"label": label})
         return jitted.lower(*args, **lower_kwargs).compile()
 
     lowered = jitted.lower(*args, **lower_kwargs)
@@ -126,6 +213,10 @@ def cached_compile(jitted, *args, label: str = "fn", **lower_kwargs):
 
         h.update(getattr(jaxlib, "__version__", "?").encode())
         h.update(_device_fingerprint(jax).encode())
+        h.update(_mesh_fingerprint(mesh).encode())
+        h.update(
+            b"proc%d/%d" % (jax.process_index(), jax.process_count())
+        )
         h.update(b"schema%d" % _SCHEMA)
         key = h.hexdigest()
     except Exception:
@@ -149,6 +240,7 @@ def cached_compile(jitted, *args, label: str = "fn", **lower_kwargs):
                 p["serialized"], p["in_tree"], p["out_tree"],
                 execution_devices=exec_devices,
             )
+            _STATS["hit"] += 1
             dispatch.record("aot_cache", "deserialize", "hit",
                             {"label": label, "mb": round(
                                 os.path.getsize(path) / 1e6, 1)})
@@ -156,7 +248,7 @@ def cached_compile(jitted, *args, label: str = "fn", **lower_kwargs):
                 os.utime(path, None)  # refresh LRU position
             except OSError:
                 pass
-            return loaded
+            return _VerifyOnFirstCall(loaded, lowered, path, label)
         except Exception as e:
             dispatch.record("aot_cache", "compile", "load-failed:%s"
                             % type(e).__name__, {"label": label})
@@ -170,6 +262,7 @@ def cached_compile(jitted, *args, label: str = "fn", **lower_kwargs):
     # blob whose functions fail to resolve at buffer fetch ("Buffer
     # Definition Event: Function ... not found"). Compile genuinely
     # (persistent cache bypassed) when we are about to serialize there.
+    _STATS["miss"] += 1
     cpu = jax.default_backend() == "cpu"
     prev = None
     if cpu:

@@ -40,6 +40,8 @@ def main():
         "--coordinator", "localhost:%s" % port,
         "--num-processes", "2", "--process-id", str(pid),
     ] + ([] if mesh == "auto" else ["--mesh", mesh]) + extra)
+    from lirec_tpu.utils import aot_cache
+
     with open(out_path, "w") as f:
         json.dump(
             {
@@ -48,6 +50,7 @@ def main():
                 "losses": out["train"]["losses"],
                 "epoch_sweep_used": out["train"].get("epoch_sweep_used"),
                 "localized_tables": out["train"].get("localized_tables"),
+                "aot": aot_cache.stats(),
             },
             f,
         )

@@ -77,6 +77,38 @@ def test_corrupted_file_falls_back(aot_dir):
         assert fh.read(4) != b"garb"
 
 
+def test_deserialized_exec_failure_self_heals(aot_dir):
+    """A blob that deserializes but FAILS at first execution (the XLA:CPU
+    'Function <fusion> not found' class, seen on the multiprocess CLI eval
+    sweep) must not kill the run: the wrapper recompiles from the retained
+    lowering, re-executes, returns the right answer, and drops the bad
+    file — dispatch-recorded as exec-failed."""
+    x = jnp.ones((8, 16), jnp.float32)
+    w = jnp.ones((16, 16), jnp.float32)
+    aot_cache.cached_compile(_fn(), x, w, label="h")
+    (path,) = [os.path.join(aot_dir, f) for f in os.listdir(aot_dir)]
+
+    lowered = _fn().lower(x, w)
+
+    class _Broken:
+        def __call__(self, *a):
+            raise RuntimeError(
+                "Buffer Definition Event: Function fused_thing not found"
+            )
+
+    wrapper = aot_cache._VerifyOnFirstCall(_Broken(), lowered, path, "h")
+    out = wrapper(x, w)
+    np.testing.assert_allclose(
+        np.asarray(out), np.tanh(np.ones((8, 16)) @ np.ones((16, 16))).sum(-1),
+        rtol=1e-6,
+    )
+    d = dispatch.last_dispatch("aot_cache")
+    assert d["reason"].startswith("exec-failed"), d
+    assert not os.path.exists(path)  # bad blob evicted
+    # healed: later calls run the recompiled executable directly
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(wrapper(x, w)))
+
+
 def test_default_off_on_cpu(tmp_path, monkeypatch):
     monkeypatch.delenv("LIREC_TPU_AOT", raising=False)
     monkeypatch.setenv("LIREC_TPU_AOT_DIR", str(tmp_path / "aot2"))
@@ -164,6 +196,47 @@ def _bundle(cfg, ds):
     )
 
 
+def test_meshed_round_trip_and_key(aot_dir):
+    """SPMD programs ride the cache too (r5, VERDICT r4 item 4): a pjit'd
+    fn over the 8-device mesh saves then deserializes with equal outputs,
+    and the mesh fingerprint keys the device LAYOUT — the same lowered IR
+    over a permuted device order must get its own entry (a deserialized
+    executable runs on its embedded assignment regardless of the caller's
+    mesh)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devices = np.array(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devices, ("data",))
+    sh = NamedSharding(mesh, P("data"))
+
+    def make(m):
+        return jax.jit(
+            lambda x: jnp.tanh(x).sum(axis=-1) * 2.0,
+            in_shardings=NamedSharding(m, P("data")),
+            out_shardings=NamedSharding(m, P("data")),
+        )
+
+    x = jax.device_put(jnp.arange(32.0).reshape(8, 4), sh)
+    c1 = aot_cache.cached_compile(make(mesh), x, label="m", mesh=mesh)
+    assert dispatch.last_dispatch("aot_cache")["reason"] == "saved"
+    out1 = np.asarray(jax.device_get(c1(x)))
+
+    c2 = aot_cache.cached_compile(make(mesh), x, label="m", mesh=mesh)
+    d = dispatch.last_dispatch("aot_cache")
+    assert d["path"] == "deserialize" and d["reason"] == "hit"
+    np.testing.assert_array_equal(out1, np.asarray(jax.device_get(c2(x))))
+    assert aot_cache.stats()["hit"] >= 1
+
+    # permuted device order -> same IR, different physical layout: miss
+    perm = Mesh(devices[::-1], ("data",))
+    xp = jax.device_put(
+        jnp.arange(32.0).reshape(8, 4), NamedSharding(perm, P("data"))
+    )
+    aot_cache.cached_compile(make(perm), xp, label="m", mesh=perm)
+    assert dispatch.last_dispatch("aot_cache")["reason"] == "saved"
+    assert len(os.listdir(aot_dir)) == 2
+
+
 def test_evaluate_packed_identical_with_aot(
     synth_root, tmp_path, monkeypatch
 ):
@@ -204,6 +277,68 @@ def test_train_sweep_identical_with_aot(synth_root, tmp_path, monkeypatch):
     warm = run()
     d = dispatch.last_dispatch("aot_cache")
     assert d["path"] == "deserialize" and d["reason"] == "hit", d
+    np.testing.assert_allclose(cold["losses"], base["losses"], rtol=1e-6)
+    np.testing.assert_allclose(warm["losses"], base["losses"], rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        ),
+        warm["params"], base["params"],
+    )
+
+
+def test_meshed_evaluate_packed_identical_with_aot(
+    synth_root, tmp_path, monkeypatch
+):
+    """The SPMD packed-eval sweep rides the cache (r5): warm meshed run
+    deserializes and its metric dict equals both the cold meshed run and
+    the cache-off meshed baseline."""
+    from lirec_tpu.evaluation.packed import evaluate_packed
+    from lirec_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(shape=(8, 1), axis_names=("data", "model"))
+    cfg, ds = _cfg_ds(synth_root, "val")
+    bundle = _bundle(cfg, ds)
+    baseline = evaluate_packed(
+        ds, bundle, bundle.params, cfg, mode="val", verbose=False, mesh=mesh
+    )
+    monkeypatch.setenv("LIREC_TPU_AOT", "1")
+    monkeypatch.setenv("LIREC_TPU_AOT_DIR", str(tmp_path / "aot_m"))
+    aot_cache.reset_stats()
+    cold = evaluate_packed(
+        ds, bundle, bundle.params, cfg, mode="val", verbose=False, mesh=mesh
+    )
+    assert aot_cache.stats()["miss"] >= 1
+    warm = evaluate_packed(
+        ds, bundle, bundle.params, cfg, mode="val", verbose=False, mesh=mesh
+    )
+    assert aot_cache.stats()["hit"] >= 1, aot_cache.stats()
+    for k in baseline:
+        assert cold[k] == pytest.approx(baseline[k], rel=1e-6), k
+        assert warm[k] == pytest.approx(baseline[k], rel=1e-6), k
+
+
+def test_meshed_train_sweep_identical_with_aot(
+    synth_root, tmp_path, monkeypatch
+):
+    """The meshed epoch sweep rides the cache (r5): the warm run's loss
+    trajectory and final params equal the cache-off meshed baseline."""
+    from lirec_tpu.parallel.mesh import make_mesh
+    from lirec_tpu.train.loop import train
+
+    def run():
+        mesh = make_mesh(shape=(4, 2))
+        cfg, ds = _cfg_ds(synth_root, "train")
+        return train(cfg, _bundle(cfg, ds), ds, verbose=False, mesh=mesh)
+
+    base = run()
+    monkeypatch.setenv("LIREC_TPU_AOT", "1")
+    monkeypatch.setenv("LIREC_TPU_AOT_DIR", str(tmp_path / "aot_mtr"))
+    aot_cache.reset_stats()
+    cold = run()
+    assert aot_cache.stats()["miss"] >= 1
+    warm = run()
+    assert aot_cache.stats()["hit"] >= 1, aot_cache.stats()
     np.testing.assert_allclose(cold["losses"], base["losses"], rtol=1e-6)
     np.testing.assert_allclose(warm["losses"], base["losses"], rtol=1e-6)
     jax.tree.map(

@@ -247,6 +247,23 @@ def test_two_process_localized_training_matches_plain(synth_root, tmp_path):
     )
 
 
+def test_two_process_aot_cache_hits_on_restart(
+    synth_root, tmp_path, monkeypatch
+):
+    """The AOT executable cache covers multi-process programs (r5, VERDICT
+    r4 item 4): a restarted 2-process cluster deserializes each process's
+    own meshed-sweep executable (keyed on mesh layout + process index/
+    count) instead of recompiling, with an identical loss trajectory."""
+    monkeypatch.setenv("LIREC_TPU_AOT", "1")
+    monkeypatch.setenv("LIREC_TPU_AOT_DIR", str(tmp_path / "aot_mp"))
+    cold, _ = _run_cli_cluster(synth_root, tmp_path, "4x2", "store_ac")
+    assert all(r["aot"]["miss"] >= 1 for r in cold), [r["aot"] for r in cold]
+    warm, _ = _run_cli_cluster(synth_root, tmp_path, "4x2", "store_aw")
+    assert all(r["aot"]["hit"] >= 1 for r in warm), [r["aot"] for r in warm]
+    for c, w in zip(cold, warm):
+        np.testing.assert_allclose(w["losses"], c["losses"], rtol=1e-6)
+
+
 def test_two_process_cli_training_matches_single_process(synth_root, tmp_path):
     """User-facing multi-host bring-up: the SAME `lirec-tpu int_rel_ch
     --train` command on two localhost processes (--coordinator/

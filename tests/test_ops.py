@@ -353,3 +353,74 @@ def test_fused_ctx_pool_triple_gate_raises():
     with pytest.raises(ValueError):
         fused_ctx_pool_triple(fused, tidx[:, :], mask, wc, wt, True,
                               force="interpret", tile_m=8)
+
+
+# ------------------------------------------------- gather-free row selects
+
+
+def test_select_along_axis_matches_take_along_axis():
+    """Bit-exact vs the gather for finite, -inf, and NaN values, int
+    arrays, broadcasted per-(B,) indices over a middle axis, and
+    out-of-range indices (clamped like take_along_axis's 'clip' mode)."""
+    import jax.numpy as jnp
+
+    from lirec_tpu.ops.select import select_along_axis
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((6, 5, 9)).astype(np.float32)
+    x[0, 1, :] = -np.inf  # masked hypothesis row, as the losses produce
+    x[2, 3, 4] = np.nan
+    jx = jnp.asarray(x)
+
+    # axis=2, one index per (B, T) row
+    idx = rng.integers(0, 9, size=(6, 5)).astype(np.int32)
+    want = np.take_along_axis(x, idx[:, :, None], axis=2)[:, :, 0]
+    got = np.asarray(select_along_axis(jx, jnp.asarray(idx), axis=2))
+    np.testing.assert_array_equal(got, want)
+
+    # axis=2, one index per sample broadcast over T (the loss col pattern)
+    bidx = rng.integers(0, 9, size=(6,)).astype(np.int32)
+    want = np.take_along_axis(
+        x, np.broadcast_to(bidx[:, None, None], (6, 5, 1)), axis=2
+    )[:, :, 0]
+    got = np.asarray(
+        select_along_axis(jx, jnp.asarray(bidx)[:, None], axis=2)
+    )
+    np.testing.assert_array_equal(got, want)
+
+    # axis=1 on an int array (the rel_at_gt pattern)
+    ints = rng.integers(-3, 12, size=(6, 5)).astype(np.int32)
+    i1 = rng.integers(0, 5, size=(6,)).astype(np.int32)
+    want = np.take_along_axis(ints, i1[:, None], axis=1)[:, 0]
+    got = np.asarray(
+        select_along_axis(jnp.asarray(ints), jnp.asarray(i1), axis=1)
+    )
+    np.testing.assert_array_equal(got, want)
+
+    # out-of-range clamps (both ends)
+    oob = np.array([-4, 99, 0, 8, 3, -1], np.int32)
+    want = np.take_along_axis(x[:, 0, :], np.clip(oob, 0, 8)[:, None],
+                              axis=1)[:, 0]
+    got = np.asarray(
+        select_along_axis(jx[:, 0, :], jnp.asarray(oob), axis=1)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_select_along_axis_grad_is_dense_mask():
+    """VJP equals take_along_axis's (cotangent lands on the selected
+    element) — computed as a dense masked broadcast, no scatter."""
+    import jax
+    import jax.numpy as jnp
+
+    from lirec_tpu.ops.select import select_along_axis
+
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((4, 7)),
+                    jnp.float32)
+    idx = jnp.asarray([2, 0, 6, 3], jnp.int32)
+
+    g1 = jax.grad(lambda a: select_along_axis(a, idx, axis=1).sum())(x)
+    g2 = jax.grad(
+        lambda a: jnp.take_along_axis(a, idx[:, None], axis=1).sum()
+    )(x)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
