@@ -137,7 +137,7 @@ def _aot_wrap_step(jitted_step, mesh=None):
         if fn is None:
             fn = aot_cache.cached_compile(
                 jitted_step, params, opt_state, batch, tables, rng,
-                label="train_step", mesh=mesh,
+                label="train_step", mesh=mesh, donate_argnums=(1,),
                 tr_sum_max_flag=bool(tr_sum_max_flag),
             )
             memo[key] = fn
@@ -178,6 +178,7 @@ def _aot_wrap_sweep(jitted_sweep, mesh=None):
             fn = aot_cache.cached_compile(
                 jitted_sweep, params, opt_state, stacked, tables,
                 base_rng, rng_offset, label="train_sweep", mesh=mesh,
+                donate_argnums=(1,),
                 tr_sum_max_flag=bool(tr_sum_max_flag),
             )
             memo[key] = fn

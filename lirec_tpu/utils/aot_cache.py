@@ -147,25 +147,40 @@ class _VerifyOnFirstCall:
     lowering, and re-executes — so a corrupt blob costs one compile, not
     the run. Executes exactly once per call either way, keeping
     multiprocess collective pairing symmetric with peers that missed the
-    cache. Residual: a failed first execution of a buffer-DONATING
-    program may have consumed its donated inputs — the healing
-    re-execution then fails too (loudly), same as the unwrapped crash.
+    cache. Buffer-DONATING programs (donate_argnums): the verify call
+    runs against sharding-preserving COPIES of the donated args — a
+    failed first execution would otherwise have consumed them and the
+    healing re-execution would die on "Array has been deleted" (seen
+    in-suite: a corrupt XLA:CPU blob under the dryrun's donated
+    opt_state). On success the caller's originals simply stay alive one
+    call longer than donation promised; later calls donate normally.
     """
 
-    def __init__(self, loaded, lowered, path, label):
+    def __init__(self, loaded, lowered, path, label, donate_argnums=()):
         self._fn = loaded
         self._lowered = lowered
         self._path = path
         self._label = label
+        self._donate = tuple(donate_argnums or ())
         self._verified = False
 
     def __call__(self, *args):
         if self._verified:
             return self._fn(*args)
         import jax
+        import jax.numpy as jnp
+
+        first_args = args
+        if self._donate:
+            first_args = list(args)
+            for i in self._donate:
+                if i < len(first_args):
+                    first_args[i] = jax.tree.map(
+                        jnp.copy, first_args[i]
+                    )
 
         try:
-            out = self._fn(*args)
+            out = self._fn(*first_args)
             jax.block_until_ready(out)
         except Exception as e:
             dispatch.record(
@@ -184,9 +199,15 @@ class _VerifyOnFirstCall:
 
 
 def cached_compile(jitted, *args, label: str = "fn", mesh=None,
-                   **lower_kwargs):
+                   donate_argnums=(), **lower_kwargs):
     """`jitted.lower(*args, **lower_kwargs).compile()` with an on-disk
     executable cache. Returns a callable taking the same dynamic args.
+
+    Pass ``donate_argnums`` mirroring the jit's own donation so the
+    deserialized-executable verify call can protect those args (see
+    _VerifyOnFirstCall) — without it, a corrupt blob's failed first
+    execution consumes the donated buffers and the heal re-execution
+    fails on deleted arrays.
 
     `jitted` must be a `jax.jit`-wrapped function; static args go in
     `lower_kwargs` (they are baked into the executable — call the result
@@ -248,7 +269,9 @@ def cached_compile(jitted, *args, label: str = "fn", mesh=None,
                 os.utime(path, None)  # refresh LRU position
             except OSError:
                 pass
-            return _VerifyOnFirstCall(loaded, lowered, path, label)
+            return _VerifyOnFirstCall(
+                loaded, lowered, path, label, donate_argnums
+            )
         except Exception as e:
             dispatch.record("aot_cache", "compile", "load-failed:%s"
                             % type(e).__name__, {"label": label})

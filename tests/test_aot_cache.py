@@ -109,6 +109,67 @@ def test_deserialized_exec_failure_self_heals(aot_dir):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(wrapper(x, w)))
 
 
+def test_donating_program_heals_after_exec_failure(aot_dir):
+    """Regression (r5, seen in-suite on test_dryrun_multichip): a corrupt
+    blob's failed first execution CONSUMES buffer-donated inputs, and the
+    healing re-execution then died on 'Array has been deleted'. The verify
+    call must run against copies of the donated args so the heal path
+    still has live originals."""
+
+    def make():
+        return jax.jit(
+            lambda o, x: (o + 1.0, (x * 2.0).sum()), donate_argnums=(0,)
+        )
+
+    o = jnp.ones((4,), jnp.float32)
+    x = jnp.arange(4.0)
+    aot_cache.cached_compile(make(), o, x, label="d", donate_argnums=(0,))
+    (path,) = [os.path.join(aot_dir, f) for f in os.listdir(aot_dir)]
+    lowered = make().lower(o, x)
+
+    class _BrokenConsuming:
+        """Models the real failure: the exec consumed the donated buffer
+        before dying."""
+
+        def __call__(self, *a):
+            a[0].delete()
+            raise RuntimeError(
+                "Buffer Definition Event: Function fused_thing not found"
+            )
+
+    wrapper = aot_cache._VerifyOnFirstCall(
+        _BrokenConsuming(), lowered, path, "d", donate_argnums=(0,)
+    )
+    o2 = jnp.ones((4,), jnp.float32)
+    out = wrapper(o2, x)  # pre-fix: RuntimeError('Array has been deleted')
+    assert dispatch.last_dispatch("aot_cache")["reason"].startswith(
+        "exec-failed"
+    )
+    np.testing.assert_array_equal(np.asarray(out[0]), np.full(4, 2.0))
+    assert float(out[1]) == 12.0
+
+
+def test_donated_arg_survives_clean_verify(aot_dir):
+    """On a clean cache hit of a donating program, the verify call's copy
+    keeps the caller's donated arg alive (later calls donate normally)."""
+
+    def make():
+        return jax.jit(
+            lambda o, x: (o + 1.0, (x * 2.0).sum()), donate_argnums=(0,)
+        )
+
+    o = jnp.ones((4,), jnp.float32)
+    x = jnp.arange(4.0)
+    aot_cache.cached_compile(make(), o, x, label="dc", donate_argnums=(0,))
+    c = aot_cache.cached_compile(make(), o, x, label="dc",
+                                 donate_argnums=(0,))
+    assert dispatch.last_dispatch("aot_cache")["reason"] == "hit"
+    out = c(o, x)
+    # the original survived the verify call (it executed on a copy)
+    np.testing.assert_array_equal(np.asarray(o), np.ones(4))
+    np.testing.assert_array_equal(np.asarray(out[0]), np.full(4, 2.0))
+
+
 def test_default_off_on_cpu(tmp_path, monkeypatch):
     monkeypatch.delenv("LIREC_TPU_AOT", raising=False)
     monkeypatch.setenv("LIREC_TPU_AOT_DIR", str(tmp_path / "aot2"))
