@@ -390,11 +390,7 @@ def _maybe_localize_eval_ctx(dataset, data, embedded, B: int, n_full: int,
     full_bytes = (ctx.clip.size + ctx.tr1.size + ctx.tr2.size) * 4
     mode = override
     if mode is None:  # auto
-        if full_bytes < VMEM_TABLE_BUDGET:
-            return None  # already VMEM-resident: nothing to win (the
-            # kernel dispatch itself logs the tier that runs)
-        # only worth it where the fused kernel can actually run on the
-        # LOCAL tables — otherwise the jnp path would pay an extra gather
+        # viability first: below this the jnp path would only add a gather
         M = int(np.prod(fi.shape[:-2], dtype=np.int64))
         kernel_viable = (
             jax.default_backend() == "tpu"
@@ -403,12 +399,23 @@ def _maybe_localize_eval_ctx(dataset, data, embedded, B: int, n_full: int,
             and ctx.tr1.shape[1] % 128 == 0
         )
         if not kernel_viable:
+            if full_bytes < VMEM_TABLE_BUDGET:
+                return None  # VMEM-resident: the kernel dispatch itself
+                # logs the tier that runs
             dispatch.record(
                 "eval_ctx_localize", "off",
                 "kernel not viable here (backend/shape gates): localizing "
                 "would only add a gather", {"M": M},
             )
             return None
+        # BELOW the VMEM budget the decision is a measured cost model,
+        # not a blanket off (r5 device traces, BENCH.md "r5 roofline":
+        # at real-split scale the triple->matmul tier runs the batch in
+        # 345 us of device time vs 469 us for the full-table VMEM kernel
+        # — the one-hot MXU matmul beats the gather-issue-bound kernel
+        # whenever the batch's unique-triple count is low enough). The
+        # analysis below is computed once per split (cached on the
+        # dataset); _gate_local applies the cost model to its result.
         mode = "triple"
     cache = getattr(dataset, "_eval_ctx_loc_cache", None)
     cache_key = (B, n_full, fi.shape, mode)
@@ -421,7 +428,7 @@ def _maybe_localize_eval_ctx(dataset, data, embedded, B: int, n_full: int,
     if cache is not None and cache[1] == cache_key:
         if cache[0] is fi:
             loc = cache[2]
-            return _gate_local(loc, ctx, override, full_bytes, dispatch)
+            return _gate_local(loc, ctx, override, full_bytes, dispatch, B)
         import hashlib
 
         digest = hashlib.blake2b(
@@ -429,7 +436,7 @@ def _maybe_localize_eval_ctx(dataset, data, embedded, B: int, n_full: int,
         ).digest()
         if cache[3] == digest:
             loc = cache[2]
-            return _gate_local(loc, ctx, override, full_bytes, dispatch)
+            return _gate_local(loc, ctx, override, full_bytes, dispatch, B)
     if mode == "triple":
         from lirec_tpu.data.localize import localize_eval_ctx_triples
 
@@ -454,12 +461,28 @@ def _maybe_localize_eval_ctx(dataset, data, embedded, B: int, n_full: int,
         dataset._eval_ctx_loc_cache = (fi, cache_key, loc, digest)
     except AttributeError:
         pass  # dataset without attribute support: recompute per eval
-    return _gate_local(loc, ctx, override, full_bytes, dispatch)
+    return _gate_local(loc, ctx, override, full_bytes, dispatch, B)
 
 
-def _gate_local(loc, ctx, override, full_bytes, dispatch):
-    """Final profitability gate + dispatch record for a computed loc."""
-    from lirec_tpu.ops.gather_pool import VMEM_TABLE_BUDGET
+def _gate_local(loc, ctx, override, full_bytes, dispatch, B=None):
+    """Final profitability gate + dispatch record for a computed loc.
+
+    Past the VMEM budget: localize whenever the local tables fit (the
+    alternative is the ~3x-slower HBM-DMA kernel tier). BELOW the budget
+    (r5): a measured cost model decides — per-batch triple-tier cost
+    (min of the MXU one-hot matmul and the local gather kernel, via
+    ops.gather_pool.matmul_pool_estimate_us, plus the per-batch
+    unique-row gather at the ~300 GB/s measured for that access pattern)
+    against the full-table VMEM kernel's issue-bound 9.8 ns/entry. At
+    real-split shapes (M=1280, R=18, U~2k) that is ~193 us vs ~226 us —
+    and the same-session device traces measured the whole ctx side at
+    345 vs 469 us/batch (BENCH.md r5 roofline), so the model is
+    conservative in the right direction. IID batches dedup to nothing
+    (U ~ M*R), the matmul estimate blows past the kernel's, and the
+    gate correctly stays off."""
+    from lirec_tpu.ops.gather_pool import (
+        VMEM_TABLE_BUDGET, matmul_pool_estimate_us,
+    )
 
     row_w = ctx.clip.shape[1] + 2 * ctx.tr1.shape[1]
     if "triples" in loc:
@@ -487,6 +510,39 @@ def _gate_local(loc, ctx, override, full_bytes, dispatch):
             % (local_bytes / 2**20), shapes,
         )
         return None
+    if (
+        not forced
+        and full_bytes < VMEM_TABLE_BUDGET
+        and "triples" in loc
+        and B
+    ):
+        tidx = np.asarray(loc["ctx_tidx"])
+        R = int(tidx.shape[-1])
+        M_b = int(B) * int(np.prod(tidx.shape[1:-1], dtype=np.int64))
+        U = int(loc["triples"].shape[1])
+        packed = str(ctx.clip.dtype) == "int32"
+        d_logical = 2 * row_w if packed else row_w
+        mm_us, kr_us = matmul_pool_estimate_us(M_b, R, U, d_logical)
+        tier_us = min(mm_us, kr_us)
+        gather_us = local_bytes / 300e3  # measured unique-row gather BW
+        full_kernel_us = M_b * R * 9.8e-3
+        est = dict(shapes, est_triple_us=round(tier_us + gather_us),
+                   est_kernel_us=round(full_kernel_us))
+        if tier_us + gather_us >= full_kernel_us:
+            dispatch.record(
+                "eval_ctx_localize", "off",
+                "cost model: triple est %.0f us/batch >= full-table VMEM "
+                "kernel %.0f us" % (tier_us + gather_us, full_kernel_us),
+                est,
+            )
+            return None
+        dispatch.record(
+            "eval_ctx_localize", "on",
+            "cost model: triple est %.0f us/batch < full-table VMEM "
+            "kernel %.0f us" % (tier_us + gather_us, full_kernel_us),
+            est,
+        )
+        return loc
     dispatch.record(
         "eval_ctx_localize", "on",
         "forced" if forced else

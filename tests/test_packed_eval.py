@@ -129,6 +129,52 @@ def test_packed_eval_ctx_localization_exact(synth_root, preset, mode, tier):
     }
 
 
+def test_eval_localize_cost_model_gate():
+    """Below the VMEM budget the auto policy is a measured cost model
+    (r5 — BENCH.md 'r5 roofline': triple->matmul measured 345 vs 469
+    us/batch of device time at real-split shapes): localize when the
+    batch's unique-triple count U is small (structured real batches,
+    U~2k at B=64), stay off when IID-like batches dedup to nothing and
+    the one-hot matmul estimate blows past the kernel's 9.8 ns/entry."""
+    from types import SimpleNamespace
+
+    from lirec_tpu.evaluation.packed import _gate_local
+    from lirec_tpu.ops import dispatch
+
+    # packed-bf16 embedded ctx tables: int32, physical width 512 each
+    ctx = SimpleNamespace(
+        clip=np.zeros((12288, 512), np.int32),
+        tr1=np.zeros((24576, 512), np.int32),
+        tr2=np.zeros((24576, 512), np.int32),
+    )
+    full_bytes = 50 * 2**20  # below the 96 MiB budget
+    B, n_full, T, R = 64, 20, 20, 18
+
+    def loc_for(U):
+        return {
+            "ctx_tidx": np.zeros((B * n_full, T, R), np.int32),
+            "triples": np.zeros((n_full, U, 3), np.int32),
+            "feat_idx": np.zeros((B * n_full, T, R + 1), np.int32),
+        }
+
+    on = _gate_local(loc_for(2000), ctx, None, full_bytes, dispatch, B)
+    rec = dispatch.last_dispatch("eval_ctx_localize")
+    assert on is not None and rec["path"] == "on"
+    assert rec["reason"].startswith("cost model"), rec
+    assert rec["shapes"]["est_triple_us"] < rec["shapes"]["est_kernel_us"]
+
+    off = _gate_local(loc_for(8000), ctx, None, full_bytes, dispatch, B)
+    rec = dispatch.last_dispatch("eval_ctx_localize")
+    assert off is None and rec["path"] == "off"
+    assert rec["reason"].startswith("cost model"), rec
+
+    # forced tiers bypass the model either way
+    forced = _gate_local(loc_for(8000), ctx, "triple", full_bytes,
+                         dispatch, B)
+    assert forced is not None
+    assert dispatch.last_dispatch("eval_ctx_localize")["reason"] == "forced"
+
+
 def test_packed_size1_tail_skip(synth_root):
     """When N % B == 1, both paths must drop the trailing sample."""
     cfg = _preset_cfg(synth_root, "int_ch", 4)
