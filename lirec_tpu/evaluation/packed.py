@@ -523,7 +523,11 @@ def _gate_local(loc, ctx, override, full_bytes, dispatch, B=None):
         packed = str(ctx.clip.dtype) == "int32"
         d_logical = 2 * row_w if packed else row_w
         mm_us, kr_us = matmul_pool_estimate_us(M_b, R, U, d_logical)
-        tier_us = min(mm_us, kr_us)
+        # the matmul tier is only auto-selected for packed-bf16 tables
+        # (gather_pool.fused_ctx_pool_triple); pricing it in for f32
+        # tables would enable localizations that then execute on the
+        # strictly-slower local gather kernel
+        tier_us = min(mm_us, kr_us) if packed else kr_us
         gather_us = local_bytes / 300e3  # measured unique-row gather BW
         full_kernel_us = M_b * R * 9.8e-3
         est = dict(shapes, est_triple_us=round(tier_us + gather_us),

@@ -54,7 +54,11 @@ def _shape_bytes(dtype: str, dims: str) -> int:
 
 def collective_ops(hlo_text: str) -> List[Dict]:
     """Every collective instruction in an optimized-HLO dump, with the op
-    kind and its result payload bytes (tuple results summed). ``-done``
+    kind and its result payload bytes. Sync tuple results (a fused
+    all-reduce over several buffers) are summed. Async ``-start`` results
+    are ``(operand, result[, u32 context scalars])`` tuples — those count
+    the RESULT payload once (largest non-context shape; smallest for
+    reduce-scatter, whose output shrinks), never operand+result. ``-done``
     halves of async pairs are skipped (the ``-start`` carries the shape).
     """
     out = []
@@ -66,7 +70,19 @@ def collective_ops(hlo_text: str) -> List[Dict]:
         eq = line.find("=")
         head = line[eq + 1 : m.start()] if 0 <= eq < m.start() else ""
         shapes = _SHAPE.findall(head)
-        nbytes = sum(_shape_bytes(dt, dims) for dt, dims in shapes)
+        sizes = [_shape_bytes(dt, dims) for dt, dims in shapes]
+        is_start = "-start(" in m.group(0)
+        if is_start and len(shapes) > 1:
+            payload = [
+                s for (dt, dims), s in zip(shapes, sizes)
+                if dims or dt not in ("u32", "s32")
+            ] or sizes
+            nbytes = (
+                min(payload) if m.group(1) == "reduce-scatter"
+                else max(payload)
+            )
+        else:
+            nbytes = sum(sizes)
         out.append({
             "op": m.group(1),
             "bytes": nbytes,

@@ -63,8 +63,10 @@ def coordination_barrier(tag: str, timeout_s: int = 600) -> None:
         if client is None:
             return
         client.wait_at_barrier("lirec_%s_%d" % (tag, n), timeout_s * 1000)
-    except ImportError:
-        pass  # private-API layout changed: fall back to raw gloo timing
+    except (ImportError, AttributeError):
+        # private-API layout changed (module moved OR global_state/
+        # wait_at_barrier renamed): fall back to raw gloo timing
+        pass
 
 
 def host_copy(tree):

@@ -60,13 +60,25 @@ def test_collective_parser_shapes():
         "  %s = f32[32]{0} all-gather-start(f32[4]{0} %p), dimensions={0}",
         "  %d = f32[32]{0} all-gather-done(f32[32]{0} %s)",
         "  %g = get-tuple-element((f32[4]) %ar), index=0",
+        # realistic async tuple results: (operand, result[, context]) —
+        # payload counted once, never operand+result
+        "  %ag = (f32[4]{0}, f32[32]{0}) all-gather-start(f32[4]{0} %p), dimensions={0}",
+        "  %ars = (f32[100]{0}, f32[100]{0}) all-reduce-start(f32[100]{0} %x), to_apply=%add",
+        "  %cp = (bf16[8,128]{1,0}, bf16[8,128]{1,0}, u32[], u32[]) collective-permute-start(bf16[8,128]{1,0} %y)",
+        "  %rs = (f32[32]{0}, f32[4]{0}) reduce-scatter-start(f32[32]{0} %z), dimensions={0}",
     ])
     ops = collective_ops(hlo)
     kinds = [o["op"] for o in ops]
-    assert kinds == ["all-reduce", "all-reduce", "all-gather"]
+    assert kinds == ["all-reduce", "all-reduce", "all-gather",
+                     "all-gather", "all-reduce", "collective-permute",
+                     "reduce-scatter"]
     assert ops[0]["bytes"] == 64 * 512 * 4
     assert ops[1]["bytes"] == 100 * 4 + 8 * 128 * 2
     assert ops[2]["bytes"] == 32 * 4
+    assert ops[3]["bytes"] == 32 * 4          # result, not 4+32
+    assert ops[4]["bytes"] == 100 * 4         # operand==result, once
+    assert ops[5]["bytes"] == 8 * 128 * 2     # u32 contexts excluded
+    assert ops[6]["bytes"] == 4 * 4           # reduce-scatter: the output
 
 
 def test_bench_mesh_end_to_end(tmp_path):

@@ -174,6 +174,20 @@ def test_eval_localize_cost_model_gate():
     assert forced is not None
     assert dispatch.last_dispatch("eval_ctx_localize")["reason"] == "forced"
 
+    # f32 (non-packed) tables below the budget: the matmul tier never
+    # engages at execution (gather_pool auto requires packed-bf16), so
+    # the gate must not price it in — pricing min(mm, kr) here enabled
+    # localizations that then ran the strictly-slower local gather kernel
+    ctx_f32 = SimpleNamespace(
+        clip=np.zeros((12288, 1024), np.float32),
+        tr1=np.zeros((24576, 1024), np.float32),
+        tr2=np.zeros((24576, 1024), np.float32),
+    )
+    off_f32 = _gate_local(loc_for(2000), ctx_f32, None, full_bytes,
+                          dispatch, B)
+    rec = dispatch.last_dispatch("eval_ctx_localize")
+    assert off_f32 is None and rec["path"] == "off", rec
+
 
 def test_packed_size1_tail_skip(synth_root):
     """When N % B == 1, both paths must drop the trailing sample."""

@@ -84,13 +84,19 @@ def run(mesh_shape, batch: int = 64, n_batches: int = 32,
         jnp.asarray, make_tables(bundle.spec, n_clips, n_tracks)
     )
     B = batch
-    assert B % data_ax == 0, "batch %d must divide the data axis %d" % (
-        B, data_ax)
+    assert B % data_ax == 0, (
+        "batch %d must be a multiple of the data axis %d" % (B, data_ax))
     data_host = make_structured_batch(
         bundle.spec, B * n_batches, n_clips, n_tracks, seed=7
     )
     t = cfg.tasks
     init_carry, step = device_sweep_builder(bundle, t, C, NR, 0)
+    # the SPMD program must mirror production (evaluate_packed passes
+    # data_mesh so the fused pallas kernel — no GSPMD rule — runs
+    # per-device via shard_map); without it a real-TPU mesh run would
+    # dispatch the kernel inside GSPMD and replicate the batch
+    _, step_spmd = device_sweep_builder(bundle, t, C, NR, 0,
+                                        data_mesh=mesh)
 
     params = jax.device_put(bundle.params)
     embedded = jax.jit(lambda p, tb: embed_all(p, bundle.spec, tb))(
@@ -163,7 +169,7 @@ def run(mesh_shape, batch: int = 64, n_batches: int = 32,
     @jax.jit
     def sweep_spmd(params, tables, embedded, data, n):
         def body(i, carry):
-            return step(
+            return step_spmd(
                 params, tables, embedded, carry,
                 jax.tree.map(lambda a: a[i], data),
             )
@@ -199,7 +205,7 @@ def run(mesh_shape, batch: int = 64, n_batches: int = 32,
     # ---- collective traffic of ONE eval step (the sweep body), measured
     # from the optimized HLO vs the documented expectation
     batch0 = {k: v[0] for k, v in data_sh.items()}
-    eval_step_c = jax.jit(step).lower(
+    eval_step_c = jax.jit(step_spmd).lower(
         params_r, tables_r, embedded_r,
         jax.device_put(init_carry(), repl), batch0,
     ).compile()
