@@ -648,17 +648,25 @@ def evaluate_packed(
     data = loc_apply_data(data, loc)
 
     if mesh is None:
-        data_dev = {k: jnp.asarray(v) for k, v in data.items()}
+        # batches staged STACKED [n_full, B, ...]: indexing a[i] in the
+        # sweep body feeds the loop measurably better than
+        # dynamic_slice_in_dim over a flat array (same-session v5e
+        # ablation: 0.268 vs 0.433 ms/batch at identical math — BENCH.md
+        # "Multi-chip readiness bench"); the train epoch sweep and the
+        # SPMD branch below already use this layout
+        def stack_batched(v):
+            v = np.asarray(v)
+            return jnp.asarray(
+                v[: n_full * B].reshape((n_full, B) + v.shape[1:])
+            )
+
+        data_dev = {k: stack_batched(v) for k, v in data.items()}
         loc_dev = loc_device_tree(loc)
 
         @functools.partial(jax.jit, static_argnames=("n_full",))
         def sweep(params, tables, embedded, data, loc, n_full):
             def body(i, carry):
-                batch = jax.tree.map(
-                    lambda a: jax.lax.dynamic_slice_in_dim(a, i * B, B),
-                    data,
-                )
-                batch = inject_loc(batch, loc, i)
+                batch = inject_loc(jax.tree.map(lambda a: a[i], data), loc, i)
                 return step(params, tables, embedded, carry, batch)
 
             return jax.lax.fori_loop(0, n_full, body, init_carry())
@@ -674,7 +682,7 @@ def evaluate_packed(
             # split smaller than one batch (or an empty process slice):
             # the loop body cannot even trace its B-sized slices
             carry = init_carry()
-        tail_data = data_dev
+        tail_data = None  # tail rows staged separately below
     else:
         # SPMD sweep: data laid out [n_batches, B, ...] with the B axis
         # sharded over 'data' — slicing batch i hits the UNsharded leading
@@ -727,7 +735,13 @@ def evaluate_packed(
         params, tables, embedded = params_r, tables_r, embedded_r
 
     if tail:
-        tail_batch = {k: v[n_full * B :] for k, v in tail_data.items()}
+        if tail_data is None:
+            tail_batch = {
+                k: jnp.asarray(np.asarray(v)[n_full * B :])
+                for k, v in data.items()
+            }
+        else:
+            tail_batch = {k: v[n_full * B :] for k, v in tail_data.items()}
         tail_step = step
         if mesh is not None:
             # the ragged tail runs replicated (its row count need not divide
